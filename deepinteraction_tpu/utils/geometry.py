@@ -1,0 +1,132 @@
+"""Geometry primitives: homogeneous transforms, camera projection, bilinear
+sampling with torch ``F.grid_sample`` semantics.
+
+The reference inverts train-time point-cloud augmentations mid-forward via
+mmdet3d's ``apply_3d_transformation`` (a flow of R/S/T/flip steps recorded in
+img_metas; see reference encoder_utils.py:156,280). Here the host pipeline
+folds the whole augmentation into ONE 4x4 matrix per sample
+(``lidar_aug_matrix``: aug_points = M @ raw_points), so un-augmenting on
+device is a single matmul with ``inverse(M)`` — equivalent affine math,
+no flow interpreter.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def transform_points(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply a [4,4] homogeneous matrix to [..., 3] points."""
+    return pts @ mat[:3, :3].T + mat[:3, 3]
+
+
+def project_to_image(
+    pts: jnp.ndarray,
+    lidar2img: jnp.ndarray,
+    eps: float = 1e-5,
+):
+    """Project LiDAR-frame points into a camera image plane.
+
+    Matches the reference's projection arithmetic (encoder_utils.py:283-296):
+    depth clamped at ``eps`` before divide, validity = depth > eps.
+
+    Args:
+        pts: [..., 3] points (already un-augmented to the raw LiDAR frame).
+        lidar2img: [4, 4] projection matrix.
+    Returns:
+        xy: [..., 2] pixel coordinates, depth: [...], valid: [...] bool.
+    """
+    hom = pts @ lidar2img[:3, :3].T + lidar2img[:3, 3]
+    depth = hom[..., 2]
+    valid = depth > eps
+    xy = hom[..., :2] / jnp.maximum(depth[..., None], eps)
+    return xy, depth, valid
+
+
+def grid_sample_2d(
+    feat: jnp.ndarray,
+    grid_xy: jnp.ndarray,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Bilinear sample with zero padding; torch ``F.grid_sample`` semantics.
+
+    Args:
+        feat: [H, W, C] feature map.
+        grid_xy: [..., 2] normalized coords in [-1, 1], (x, y) order where x
+            indexes W.
+    Returns:
+        [..., C] sampled features (zeros outside the map).
+    """
+    h, w = feat.shape[0], feat.shape[1]
+    x, y = grid_xy[..., 0], grid_xy[..., 1]
+    if align_corners:
+        fx = (x + 1.0) * 0.5 * (w - 1)
+        fy = (y + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((x + 1.0) * w - 1.0) * 0.5
+        fy = ((y + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+
+    def tap(ix, iy):
+        inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        v = feat[iyc, ixc]
+        return jnp.where(inside[..., None], v, 0.0)
+
+    v00 = tap(x0, y0)
+    v01 = tap(x0 + 1, y0)
+    v10 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    wx0, wx1 = (1.0 - tx)[..., None], tx[..., None]
+    wy0, wy1 = (1.0 - ty)[..., None], ty[..., None]
+    return (v00 * wx0 + v01 * wx1) * wy0 + (v10 * wx0 + v11 * wx1) * wy1
+
+
+def make_rotation_z(angle) -> jnp.ndarray:
+    """[4,4] ccw rotation around +z."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, zero, zero], -1),
+            jnp.stack([s, c, zero, zero], -1),
+            jnp.stack([zero, zero, one, zero], -1),
+            jnp.stack([zero, zero, zero, one], -1),
+        ],
+        -2,
+    )
+
+
+def compose_aug_matrix(
+    rotation: float = 0.0,
+    scale: float = 1.0,
+    translation=(0.0, 0.0, 0.0),
+    flip_x: bool = False,
+    flip_y: bool = False,
+):
+    """Build the single 4x4 LiDAR augmentation matrix used by the host pipeline.
+
+    Order matches the reference train pipeline (GlobalRotScaleTrans applies
+    rotation, then scaling, then translation — mmdet3d semantics — and
+    RandomFlip3D flips afterwards; config Fusion_0075_refactor.py:38-47):
+        p' = F · (s · R · p + t)
+    ``flip_x`` mirrors across the x-axis (y := -y, mmdet3d
+    'horizontal' BEV flip); ``flip_y`` mirrors x := -x ('vertical').
+    """
+    import numpy as np
+
+    c, s = np.cos(rotation), np.sin(rotation)
+    m = np.eye(4, dtype=np.float64)
+    m[:3, :3] = scale * np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    m[:3, 3] = np.asarray(translation, dtype=np.float64)
+    f = np.eye(4, dtype=np.float64)
+    if flip_x:
+        f[1, 1] = -1.0
+    if flip_y:
+        f[0, 0] = -1.0
+    return (f @ m).astype(np.float32)

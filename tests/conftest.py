@@ -1,0 +1,13 @@
+"""Test harness: force an 8-device virtual CPU platform so data-parallel
+sharding semantics are testable without a TPU pod (the reference only ever
+exercised distribution on real 8-GPU rigs; we do better)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,6 +1,10 @@
 """Test harness: force an 8-device virtual CPU platform so data-parallel
 sharding semantics are testable without a TPU pod (the reference only ever
-exercised distribution on real 8-GPU rigs; we do better)."""
+exercised distribution on real 8-GPU rigs; we do better).
+
+Note: the env var alone is not enough on hosts where the axon TPU plugin is
+registered — jax.config.update after import is authoritative.
+"""
 
 import os
 
@@ -10,4 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# fp32 tests must not silently run matmuls in bf16 (TPU default)
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,151 @@
+import jax.numpy as jnp
+import numpy as np
+
+from deepinteraction_tpu.ops.sparse_conv import (
+    SparseTensor,
+    linear_ids,
+    sparse_conv_downsample,
+    subm_conv,
+    subm_neighbor_table,
+    to_dense_bev,
+)
+
+
+def _make_sparse(rng, shape, n_active, c, capacity):
+    nz, ny, nx = shape
+    # unique random coords
+    all_ids = rng.permutation(nz * ny * nx)[:n_active]
+    all_ids = np.sort(all_ids)
+    coords = np.stack(
+        [all_ids // (ny * nx), (all_ids // nx) % ny, all_ids % nx], axis=1
+    ).astype(np.int32)
+    feats = rng.normal(size=(n_active, c)).astype(np.float32)
+    # pad to capacity
+    pad = capacity - n_active
+    coords = np.concatenate([coords, np.zeros((pad, 3), np.int32)])
+    feats = np.concatenate([feats, np.zeros((pad, c), np.float32)])
+    valid = np.arange(capacity) < n_active
+    return SparseTensor(
+        jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid), shape
+    )
+
+
+def _dense_of(st):
+    nz, ny, nx = st.shape
+    c = st.features.shape[1]
+    d = np.zeros((nz, ny, nx, c), np.float32)
+    coords = np.asarray(st.coords)
+    feats = np.asarray(st.features)
+    val = np.asarray(st.valid)
+    for i in range(coords.shape[0]):
+        if val[i]:
+            d[coords[i, 0], coords[i, 1], coords[i, 2]] = feats[i]
+    return d
+
+
+def _dense_conv3d(dense, w, stride, padding):
+    """naive dense 3D conv oracle. w: [kz,ky,kx,ci,co] -> out dense grid"""
+    nz, ny, nx, ci = dense.shape
+    kz, ky, kx = w.shape[:3]
+    sz, sy, sx = stride
+    pz, py, px = padding
+    oz = (nz + 2 * pz - kz) // sz + 1
+    oy = (ny + 2 * py - ky) // sy + 1
+    ox = (nx + 2 * px - kx) // sx + 1
+    pad = np.zeros((nz + 2 * pz, ny + 2 * py, nx + 2 * px, ci), np.float32)
+    pad[pz : pz + nz, py : py + ny, px : px + nx] = dense
+    out = np.zeros((oz, oy, ox, w.shape[4]), np.float32)
+    for z in range(oz):
+        for y in range(oy):
+            for x in range(ox):
+                patch = pad[
+                    z * sz : z * sz + kz, y * sy : y * sy + ky, x * sx : x * sx + kx
+                ]
+                out[z, y, x] = np.tensordot(patch, w, axes=([0, 1, 2, 3], [0, 1, 2, 3]))
+    return out
+
+
+def test_subm_conv_matches_dense_at_active_sites():
+    rng = np.random.default_rng(0)
+    shape = (5, 6, 7)
+    st = _make_sparse(rng, shape, 40, 4, 64)
+    w = rng.normal(size=(3, 3, 3, 4, 8)).astype(np.float32) * 0.3
+    nbr = subm_neighbor_table(st, (3, 3, 3))
+    out = subm_conv(st, nbr, jnp.asarray(w.reshape(27, 4, 8)))
+    dense = _dense_of(st)
+    expect = _dense_conv3d(dense, w, (1, 1, 1), (1, 1, 1))
+    coords = np.asarray(st.coords)
+    val = np.asarray(st.valid)
+    got = np.asarray(out.features)
+    for i in range(64):
+        if val[i]:
+            np.testing.assert_allclose(
+                got[i],
+                expect[coords[i, 0], coords[i, 1], coords[i, 2]],
+                rtol=1e-4,
+                atol=1e-5,
+            )
+
+
+def test_strided_conv_matches_dense():
+    rng = np.random.default_rng(1)
+    shape = (8, 8, 8)
+    st = _make_sparse(rng, shape, 50, 3, 64)
+    w = rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32) * 0.3
+    out = sparse_conv_downsample(
+        st, jnp.asarray(w.reshape(27, 3, 5)), None, (3, 3, 3), (2, 2, 2), (1, 1, 1), 64
+    )
+    dense = _dense_of(st)
+    expect = _dense_conv3d(dense, w, (2, 2, 2), (1, 1, 1))
+    got = np.asarray(out.features)
+    coords = np.asarray(out.coords)
+    val = np.asarray(out.valid)
+    assert val.sum() > 0
+    for i in range(64):
+        if val[i]:
+            np.testing.assert_allclose(
+                got[i],
+                expect[coords[i, 0], coords[i, 1], coords[i, 2]],
+                rtol=1e-4,
+                atol=1e-5,
+            )
+    # every nonzero dense output site is in the generated active set
+    nonzero = np.argwhere(np.abs(expect).sum(-1) > 1e-5)
+    active = {tuple(coords[i]) for i in range(64) if val[i]}
+    for site in nonzero:
+        assert tuple(site) in active
+
+
+def test_strided_zpad0_axis():
+    """conv_out-style kernel (3,1,1) stride (2,1,1) pad (0,0,0)."""
+    rng = np.random.default_rng(2)
+    shape = (5, 4, 4)
+    st = _make_sparse(rng, shape, 30, 3, 40)
+    w = rng.normal(size=(3, 1, 1, 3, 4)).astype(np.float32)
+    out = sparse_conv_downsample(
+        st, jnp.asarray(w.reshape(3, 3, 4)), None, (3, 1, 1), (2, 1, 1), (0, 0, 0), 40
+    )
+    dense = _dense_of(st)
+    expect = _dense_conv3d(dense, w, (2, 1, 1), (0, 0, 0))
+    coords = np.asarray(out.coords)
+    val = np.asarray(out.valid)
+    got = np.asarray(out.features)
+    assert out.shape == (2, 4, 4)
+    for i in range(40):
+        if val[i]:
+            np.testing.assert_allclose(
+                got[i], expect[coords[i, 0], coords[i, 1], coords[i, 2]], rtol=1e-4, atol=1e-5
+            )
+
+
+def test_to_dense_bev_channel_fold():
+    feats = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+    coords = jnp.asarray([[0, 1, 1], [1, 0, 2]], jnp.int32)
+    st = SparseTensor(feats, coords, jnp.asarray([True, True]), (2, 3, 4))
+    bev = np.asarray(to_dense_bev(st))
+    assert bev.shape == (3, 4, 4)  # ny, nx, C*nz
+    # channel index = c*nz + z
+    assert bev[1, 1, 0 * 2 + 0] == 1.0
+    assert bev[1, 1, 1 * 2 + 0] == 2.0
+    assert bev[0, 2, 0 * 2 + 1] == 3.0
+    assert bev[0, 2, 1 * 2 + 1] == 4.0

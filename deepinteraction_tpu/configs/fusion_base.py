@@ -115,8 +115,8 @@ def tiny_config() -> Config:
     channel widths, tiny static capacities — small enough to jit on a 1-core
     CPU host in seconds.
     """
-    pc_range = (-8.0, -8.0, -3.0, 8.0, 8.0, 1.0)
-    voxel_size = (0.125, 0.125, 0.2)  # grid 128 x 128 x 20
+    pc_range = (-8.0, -8.0, -5.0, 8.0, 8.0, 3.0)
+    voxel_size = (0.125, 0.125, 0.2)  # grid 128 x 128 x 40 (z chain matches ref)
     osf = 8  # BEV 16 x 16
     pillar = (voxel_size[0] * osf, voxel_size[1] * osf, pc_range[5] - pc_range[2])
     model = ModelConfig(
@@ -138,7 +138,7 @@ def tiny_config() -> Config:
         ),
         pts_middle_encoder=SparseEncoderConfig(
             in_channels=5,
-            sparse_shape=(21, 128, 128),
+            sparse_shape=(41, 128, 128),
             encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128)),
             output_channels=128,
             stage_capacities=(2000, 1500, 1000, 500),

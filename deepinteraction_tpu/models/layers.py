@@ -7,8 +7,9 @@ reference overrides encoder/decoder BN momentum to 0.1 (torch)
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -89,9 +90,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax_rsqrt(var + self.epsilon) if False else (
-            (x - mean) / jnp.sqrt(var + self.epsilon)
-        )
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return jnp.where(mask[..., None], y, 0.0)
 

@@ -1,1 +1,11 @@
-from . import layers, resnet, fpn, second, sparse_encoder  # noqa: F401
+from . import (  # noqa: F401
+    decoder,
+    detector,
+    fpn,
+    layers,
+    mmri_encoder,
+    resnet,
+    second,
+    sparse_encoder,
+    swin,
+)

@@ -95,6 +95,39 @@ class MaskedBatchNorm(nn.Module):
         return jnp.where(mask[..., None], y, 0.0)
 
 
+class TorchMHA(nn.Module):
+    """Multi-head attention with torch ``nn.MultiheadAttention`` semantics
+    (separate q/k/v Dense = the unpacked in_proj; scale 1/sqrt(head_dim);
+    boolean key mask -> -inf logits). Inputs are [B, L, E] / [B, S, E]."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, key_mask=None, attn_mask=None, train: bool = False):
+        e, h = self.embed_dim, self.num_heads
+        hd = e // h
+        b, l = q.shape[0], q.shape[1]
+        s = k.shape[1]
+        qp = nn.Dense(e, name="q_proj")(q).reshape(b, l, h, hd)
+        kp = nn.Dense(e, name="k_proj")(k).reshape(b, s, h, hd)
+        vp = nn.Dense(e, name="v_proj")(v).reshape(b, s, h, hd)
+        logits = jnp.einsum("blhd,bshd->bhls", qp, kp) / jnp.sqrt(jnp.float32(hd))
+        if key_mask is not None:  # [B, S] True = attend
+            logits = jnp.where(key_mask[:, None, None, :], logits, -jnp.inf)
+        if attn_mask is not None:  # [B, L, S] True = attend
+            logits = jnp.where(attn_mask[:, None, :, :], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(jnp.isnan(attn), 0.0, attn)  # fully-masked rows
+        if self.dropout > 0.0 and train:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, attn.shape)
+            attn = attn * keep / (1.0 - self.dropout)
+        out = jnp.einsum("bhls,bshd->blhd", attn, vp).reshape(b, l, e)
+        return nn.Dense(e, name="out_proj")(out)
+
+
 class MLP1d(nn.Module):
     """Conv1d(k=1) stack as used by prediction heads: per-element Dense."""
 
@@ -107,7 +140,7 @@ class MLP1d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         for i in range(self.num_layers - 1):
-            x = nn.Dense(self.hidden, use_bias=False, name=f"fc{i}")(x)
+            x = nn.Dense(self.hidden, name=f"fc{i}")(x)
             if mask is None:
                 x = nn.BatchNorm(
                     use_running_average=not train,

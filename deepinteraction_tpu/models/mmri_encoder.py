@@ -1,0 +1,325 @@
+"""MMRI encoder v1: bilateral image<->LiDAR representational interaction.
+
+TPU-native rebuild of the reference ``DeepInteractionEncoder``
+(models/necks/deepinteraction_encoder.py) and its ops
+(models/utils/encoder_utils.py). Redesigns, each documented at the class:
+
+- MMRI_I2P: one fixed-K masked single-head attention over all pillars at
+  once (K = max_points_per_pillar * num_views = the reference's largest
+  ``group_attn`` bucket, encoder_utils.py:226). Uniform padding beats the
+  reference's dynamic per-count bucketing on TPU: no data-dependent shapes,
+  one big MXU-friendly batched matmul.
+- BEVWarp (P2I): the per-sample/per-view Python loops (encoder_utils.py:152-182)
+  become vmaps; OpenCV depth completion becomes the on-device port
+  (ops/depth_fill.py); duplicate depth-map scatters resolve to the MINIMUM
+  depth (closest point) — deterministic, vs torch's unspecified last-write
+  (documented deviation).
+- Local k×k attention: ops/local_attention (zero-logit boundary semantics of
+  the reference CUDA kernel preserved).
+
+Layouts: images [B, V, H, W, C]; BEV [B, Hb, Wb, C]; channels-last.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs import MMRIEncoderConfig
+from ..ops.depth_fill import fill_in_multiscale
+from ..ops.local_attention import local_attention
+from ..utils.geometry import grid_sample_2d, transform_points
+from .layers import ConvBNReLU
+
+
+class LocalContextAttentionBlock(nn.Module):
+    """Reference encoder_utils.py:84-135: 2-conv q/k projections, 1-conv v
+    projection, k×k local attention."""
+
+    out_channels: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, target, source, train: bool = False):
+        q = ConvBNReLU(self.out_channels, 1, name="q0")(target, train)
+        q = ConvBNReLU(self.out_channels, 1, name="q1")(q, train)
+        k = ConvBNReLU(self.out_channels, 1, name="k0")(source, train)
+        k = ConvBNReLU(self.out_channels, 1, name="k1")(k, train)
+        v = ConvBNReLU(self.out_channels, 1, name="v")(source, train)
+        return local_attention(q, k, v, self.kernel)
+
+
+class MMRI_I2P(nn.Module):
+    """Image-to-points: each occupied BEV pillar queries the image features
+    its raw points project to (reference encoder_utils.py:216-320).
+
+    Single-head attention, embed dim = pts channels; in/out projections and
+    scaling follow torch nn.MultiheadAttention so converted weights drop in.
+    """
+
+    channels: int
+    max_keys: int  # = max_points_per_pillar * num_views
+
+    @nn.compact
+    def __call__(
+        self,
+        lidar_feat,  # [B, Hb, Wb, C]
+        img_feats,  # [B, V, Hc, Wc, C]
+        pillars,  # [B, Kp, P, D>=3] raw points per pillar
+        pillar_counts,  # [B, Kp]
+        pillar_coords,  # [B, Kp, 3] (z, y, x)
+        pillar_valid,  # [B, Kp]
+        lidar2img,  # [B, V, 4, 4]
+        lidar_aug_inv,  # [B, 4, 4] undo train-time point augmentation
+        input_shape: Tuple[int, int],  # (H, W) of the padded camera image
+        train: bool = False,
+    ):
+        c = self.channels
+        b, v = img_feats.shape[0], img_feats.shape[1]
+        kp, p = pillars.shape[1], pillars.shape[2]
+        ih, iw = input_shape
+
+        wq = nn.Dense(c, name="q_proj")
+        wk = nn.Dense(c, name="k_proj")
+        wv = nn.Dense(c, name="v_proj")
+        wo = nn.Dense(c, name="out_proj")
+
+        def per_sample(lfeat, ifeat, pil, cnt, coor, pvalid, l2i, aug_inv):
+            pts = pil[..., :3].reshape(kp * p, 3)
+            raw = transform_points(aug_inv, pts)  # undo augmentation
+            hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
+
+            def project(mat):  # one view
+                cam = hom @ mat.T  # [Kp*P, 4]
+                eps = 1e-5
+                depth_ok = cam[:, 2] > eps
+                xy = cam[:, :2] / jnp.maximum(cam[:, 2:3], eps)
+                gx = (xy[:, 0] / iw - 0.5) * 2.0
+                gy = (xy[:, 1] / ih - 0.5) * 2.0
+                ok = depth_ok & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1)
+                return jnp.stack([gx, gy], -1), ok
+
+            grids, oks = jax.vmap(project)(l2i)  # [V, Kp*P, 2], [V, Kp*P]
+            sampled = jax.vmap(grid_sample_2d)(ifeat, grids)  # [V, Kp*P, C]
+            # [Kp, P, V, C] -> [Kp, P*V, C]; key mask needs point validity too
+            keys = sampled.reshape(v, kp, p, c).transpose(1, 2, 0, 3)
+            kmask = oks.reshape(v, kp, p).transpose(1, 2, 0)  # [Kp, P, V]
+            pt_ok = jnp.arange(p)[None, :] < cnt[:, None]  # [Kp, P]
+            kmask = kmask & pt_ok[:, :, None]
+            keys = keys.reshape(kp, p * v, c)
+            kmask = kmask.reshape(kp, p * v)
+
+            q = lfeat[coor[:, 1], coor[:, 2]]  # [Kp, C]
+            return keys, kmask, q
+
+        keys, kmask, q = jax.vmap(per_sample)(
+            lidar_feat,
+            img_feats,
+            pillars,
+            pillar_counts,
+            pillar_coords,
+            pillar_valid,
+            lidar2img,
+            lidar_aug_inv,
+        )
+        # single-head attention over fixed K keys
+        qh = wq(q) * (1.0 / jnp.sqrt(jnp.float32(c)))
+        kh = wk(keys)
+        vh = wv(keys)
+        logits = jnp.einsum("bqc,bqkc->bqk", qh, kh)
+        logits = jnp.where(kmask, logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(jnp.any(kmask, -1, keepdims=True), attn, 0.0)
+        out = wo(jnp.einsum("bqk,bqkc->bqc", attn, vh))  # [B, Kp, C]
+
+        has_key = jnp.any(kmask, -1) & pillar_valid  # reference `valid` gate
+        out = jnp.where(has_key[..., None], out, 0.0)
+
+        # scatter back to the BEV grid (zeros elsewhere)
+        hb, wb = lidar_feat.shape[1], lidar_feat.shape[2]
+
+        def scatter(o, coor, ok):
+            y = jnp.where(ok, coor[:, 1], hb)
+            x = jnp.where(ok, coor[:, 2], 0)
+            return jnp.zeros((hb, wb, c), o.dtype).at[y, x].set(
+                jnp.where(ok[:, None], o, 0.0), mode="drop"
+            )
+
+        return jax.vmap(scatter)(out, pillar_coords, has_key)
+
+
+class BEVWarp(nn.Module):
+    """Points-to-image warping (reference encoder_utils.py:137-199):
+    project every raw LiDAR point into each view, densify the sparse depth
+    map on device, back-project all pixels to BEV, bilinear-sample the LiDAR
+    features."""
+
+    pc_range: Tuple[float, ...]
+
+    @nn.compact
+    def __call__(
+        self,
+        lidar_feat,  # [B, Hb, Wb, C]
+        img_feats,  # [B, V, Hc, Wc, C]
+        points,  # [B, N, D]
+        points_mask,  # [B, N]
+        lidar2img,  # [B, V, 4, 4]
+        img2lidar,  # [B, V, 4, 4]
+        lidar_aug,  # [B, 4, 4] forward augmentation matrix
+        lidar_aug_inv,  # [B, 4, 4]
+        input_shape: Tuple[int, int],
+        train: bool = False,
+    ):
+        b, v, hc, wc, c = img_feats.shape
+        ih, iw = input_shape
+        pcr = jnp.asarray(self.pc_range)
+
+        def per_sample(lfeat, pts, pmask, l2i, i2l, aug, aug_inv):
+            raw = transform_points(aug_inv, pts[:, :3])
+            hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
+
+            def depth_map(mat):
+                cam = hom @ mat.T
+                eps = 1e-5
+                depth = cam[:, 2]
+                xy = cam[:, :2] / jnp.maximum(depth[:, None], eps)
+                gx = (xy[:, 0] / iw - 0.5) * 2.0
+                gy = (xy[:, 1] / ih - 0.5) * 2.0
+                ok = (
+                    (depth > eps) & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1) & pmask
+                )
+                fx = jnp.floor(xy[:, 0] / iw * wc).astype(jnp.int32)
+                fy = jnp.floor(xy[:, 1] / ih * hc).astype(jnp.int32)
+                fx = jnp.where(ok, fx, 0)
+                fy = jnp.where(ok, fy, hc)  # dropped row
+                dm = jnp.full((hc + 1, wc), jnp.inf, jnp.float32)
+                # closest-depth-wins (deterministic; see module docstring)
+                dm = dm.at[fy, fx].min(jnp.where(ok, depth, jnp.inf))
+                dm = dm[:hc]
+                return jnp.where(jnp.isfinite(dm), dm, 0.0)
+
+            dms = jax.vmap(depth_map)(l2i)  # [V, hc, wc]
+            dms = fill_in_multiscale(dms)
+
+            # back-project every feature pixel to LiDAR frame
+            xs = jnp.linspace(0.0, iw - 1.0, wc)
+            ys = jnp.linspace(0.0, ih - 1.0, hc)
+            gx, gy = jnp.meshgrid(xs, ys)  # [hc, wc]
+
+            def lift(mat, dm):
+                x = gx * dm
+                y = gy * dm
+                ones = jnp.ones_like(dm)
+                xyd = jnp.stack([x, y, dm, ones], -1)  # [hc, wc, 4]
+                pts3 = xyd @ mat.T  # img2lidar
+                return pts3[..., :3]
+
+            xyz = jax.vmap(lift)(i2l, dms)  # [V, hc, wc, 3]
+            xyz = transform_points(aug, xyz)  # redo augmentation
+            ok = (
+                (xyz[..., 0] > pcr[0])
+                & (xyz[..., 1] > pcr[1])
+                & (xyz[..., 2] > pcr[2])
+                & (xyz[..., 0] < pcr[3])
+                & (xyz[..., 1] < pcr[4])
+                & (xyz[..., 2] < pcr[5])
+            )
+            uv = (xyz[..., :2] - pcr[:2]) / (pcr[3:5] - pcr[:2])
+            uv = (uv - 0.5) * 2.0
+            warped = grid_sample_2d(lfeat, uv)  # [V, hc, wc, C]
+            return jnp.where(ok[..., None], warped, 0.0)
+
+        return jax.vmap(per_sample)(
+            lidar_feat, points, points_mask, lidar2img, img2lidar, lidar_aug, lidar_aug_inv
+        )
+
+
+class MMRIEncoderLayer(nn.Module):
+    """One bilateral interaction layer (reference
+    deepinteraction_encoder.py:8-33)."""
+
+    cfg: MMRIEncoderConfig
+    pc_range: Tuple[float, ...]
+    input_shape: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, img_feat, lidar_feat, batch: Dict[str, Any], train: bool = False):
+        c = self.cfg.hidden_channel
+        k = self.cfg.local_attn_kernel
+        b, v = img_feat.shape[0], img_feat.shape[1]
+
+        i2p = MMRI_I2P(c, self.cfg.i2p_max_keys, name="i2p")(
+            lidar_feat,
+            img_feat,
+            batch["pillars"],
+            batch["pillar_counts"],
+            batch["pillar_coords"],
+            batch["pillar_valid"],
+            batch["lidar2img"],
+            batch["lidar_aug_inv"],
+            self.input_shape,
+            train,
+        )
+        p2p = LocalContextAttentionBlock(c, k, name="p_iml")(lidar_feat, lidar_feat, train)
+        p_aug = ConvBNReLU(c, 1, use_act=False, name="p_out_proj")(
+            jnp.concatenate([i2p, p2p], -1), train
+        )
+        new_lidar = ConvBNReLU(c, 1, use_act=False, name="p_integration")(
+            jnp.concatenate([p_aug, lidar_feat], -1), train
+        )
+
+        warped = BEVWarp(self.pc_range, name="warp")(
+            lidar_feat,
+            img_feat,
+            batch["points"],
+            batch["points_mask"],
+            batch["lidar2img"],
+            batch["img2lidar"],
+            batch["lidar_aug"],
+            batch["lidar_aug_inv"],
+            self.input_shape,
+            train,
+        )
+        flat = lambda x: x.reshape((b * v,) + x.shape[2:])
+        p2i = LocalContextAttentionBlock(c, k, name="p2i_local")(
+            flat(img_feat), flat(warped), train
+        )
+        i2i = LocalContextAttentionBlock(c, k, name="i_iml")(
+            flat(img_feat), flat(img_feat), train
+        )
+        i_aug = ConvBNReLU(c, 1, use_act=False, name="i_out_proj")(
+            jnp.concatenate([p2i, i2i], -1), train
+        )
+        new_img = ConvBNReLU(c, 1, use_act=False, name="i_integration")(
+            jnp.concatenate([i_aug, flat(img_feat)], -1), train
+        )
+        return new_img.reshape(img_feat.shape[:2] + new_img.shape[1:]), new_lidar
+
+
+class MMRIEncoder(nn.Module):
+    """DeepInteractionEncoder (reference deepinteraction_encoder.py:35-85):
+    shared 3x3 convs to hidden width, then num_layers interaction layers.
+    Returns (new_img_feat [B,V,h,w,C], [pts_feat_conv, new_pts_feat])."""
+
+    cfg: MMRIEncoderConfig
+    pc_range: Tuple[float, ...]
+    input_shape: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, img_feats, pts_feats, batch: Dict[str, Any], train: bool = False):
+        c = self.cfg.hidden_channel
+        b, v = img_feats.shape[0], img_feats.shape[1]
+        img = nn.Conv(c, (3, 3), padding=1, name="shared_conv_img")(
+            img_feats.reshape((b * v,) + img_feats.shape[2:])
+        )
+        img = img.reshape((b, v) + img.shape[1:])
+        pts = nn.Conv(c, (3, 3), padding=1, name="shared_conv_pts")(pts_feats)
+        pts_feat_conv = pts
+        for i in range(self.cfg.num_layers):
+            img, pts = MMRIEncoderLayer(
+                self.cfg, self.pc_range, self.input_shape, name=f"layer{i}"
+            )(img, pts, batch, train)
+        return img, (pts_feat_conv, pts)

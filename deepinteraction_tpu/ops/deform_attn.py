@@ -1,0 +1,96 @@
+"""Multi-scale deformable attention (mmcv ``MultiScaleDeformableAttention``).
+
+The reference uses the CUDA MSDA kernel as the intra-modal "self_attn" of
+the ++ fusion layers and inside MMRI_P2I (config Fusion_0075_plusplus.py:
+222-248, fusion_transformerv4.py:226). With only heads x levels x 4 samples
+per query, a gather + bilinear-interp formulation is MXU/VPU-friendly on
+TPU — no custom kernel needed (SURVEY §2.3).
+
+Semantics matched to mmcv:
+- sampling location = ref + offset / (W_l, H_l), in [0, 1] normalized coords;
+- bilinear sample with zero padding, align_corners=False;
+- attention weights softmax over (levels x points) jointly;
+- output projection, then residual ``identity + dropout(out)``;
+- sampling-offset bias initialized to the rotated unit-grid pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..utils.geometry import grid_sample_2d
+
+
+def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
+    thetas = np.arange(num_heads) * (2.0 * np.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # [H, 2]
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    grid = grid * (np.arange(1, num_points + 1)[None, None, :, None])
+    return grid.reshape(-1).astype(np.float32)
+
+
+class MSDeformableAttention(nn.Module):
+    embed_dims: int
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, Nq, C]
+        value: jnp.ndarray,  # [B, Nv, C] flattened levels
+        reference_points: jnp.ndarray,  # [B, Nq, L, 2] in [0, 1]
+        spatial_shapes: Sequence[Tuple[int, int]],  # static (H_l, W_l)
+        identity: jnp.ndarray | None = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        c, h, l, p = self.embed_dims, self.num_heads, self.num_levels, self.num_points
+        hd = c // h
+        b, nq = query.shape[0], query.shape[1]
+        assert len(spatial_shapes) == l
+
+        v = nn.Dense(c, name="value_proj")(value)
+        offsets = nn.Dense(
+            2 * h * l * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *a: jnp.asarray(_offset_bias_init(h, l, p)),
+            name="sampling_offsets",
+        )(query).reshape(b, nq, h, l, p, 2)
+        weights = nn.Dense(
+            h * l * p, kernel_init=nn.initializers.zeros, name="attention_weights"
+        )(query).reshape(b, nq, h, l * p)
+        weights = jax.nn.softmax(weights, axis=-1).reshape(b, nq, h, l, p)
+
+        sizes = [hh * ww for hh, ww in spatial_shapes]
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        out = jnp.zeros((b, nq, h, hd), query.dtype)
+        for li, (hh, ww) in enumerate(spatial_shapes):
+            v_l = v[:, starts[li] : starts[li] + sizes[li]].reshape(b, hh, ww, h, hd)
+            wh = jnp.asarray([ww, hh], query.dtype)
+            loc = reference_points[:, :, None, li, None, :] + offsets[:, :, :, li] / wh
+            grid = loc * 2.0 - 1.0  # [B, Nq, h, p, 2]
+
+            def sample_one(vb, gb):  # [hh, ww, h, hd], [Nq, h, p, 2]
+                def per_head(vh_, gh):  # [hh, ww, hd], [Nq, p, 2]
+                    return grid_sample_2d(vh_, gh)
+
+                return jax.vmap(per_head, in_axes=(2, 1), out_axes=1)(vb, gb)
+
+            sampled = jax.vmap(sample_one)(v_l, grid)  # [B, Nq, h, p, hd]
+            out = out + jnp.sum(sampled * weights[:, :, :, li, :, None], axis=3)
+
+        out = nn.Dense(c, name="output_proj")(out.reshape(b, nq, c))
+        if self.dropout > 0.0 and train:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, out.shape)
+            out = out * keep / (1.0 - self.dropout)
+        identity = query if identity is None else identity
+        return identity + out

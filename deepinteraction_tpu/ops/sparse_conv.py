@@ -9,8 +9,9 @@ models/detectors/deepinteraction.py:127). TPU redesign:
 - Neighbor resolution = vectorized binary search (``searchsorted``) of
   offset-shifted linear ids against the sorted active set — no hash tables,
   no dynamic shapes, all dense int ops XLA handles well.
-- Submanifold conv = Σ_d gather(features, nbr[:, d]) @ W[d]; the 27-tap loop
-  is statically unrolled so XLA pipelines gather+matmul pairs on the MXU.
+- Submanifold conv = one [K, 27, Cin] gather + a single [K, 27·Cin] x
+  [27·Cin, Cout] matmul — one large MXU contraction per layer (and one
+  scatter-add per layer in the backward) instead of 27 small ones.
 - Strided (downsampling) conv generates candidate output sites (≤ 2 per
   input per axis), dedupes them with one sort, and convolves from the
   output's perspective.
@@ -99,12 +100,14 @@ def gathered_matmul(
     table = jnp.concatenate(
         [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0
     )
-    d = nbr.shape[1]
-    out = None
-    for t in range(d):
-        g = table[jnp.minimum(nbr[:, t], kin)]  # [Ko, Cin]
-        o = g @ weights[t]
-        out = o if out is None else out + o
+    g = table[jnp.minimum(nbr, kin)]  # [Ko, D, Cin] — ONE gather
+    # one big MXU contraction instead of D small matmuls (and one
+    # scatter-add in the backward instead of D)
+    out = jax.lax.dot_general(
+        g.reshape(g.shape[0], -1),
+        weights.reshape(-1, weights.shape[-1]),
+        (((1,), (0,)), ((), ())),
+    )
     return jnp.where(valid_out[:, None], out, 0.0)
 
 

@@ -1,10 +1,19 @@
 from .schedules import cyclic_cosine
-from .step import TrainState, create_train_state, make_train_step, freeze_mask
+from .step import (
+    TrainState,
+    bev_shape,
+    create_train_state,
+    frozen_keys,
+    make_optimizer,
+    make_train_step,
+)
 
 __all__ = [
     "cyclic_cosine",
     "TrainState",
+    "bev_shape",
     "create_train_state",
+    "frozen_keys",
+    "make_optimizer",
     "make_train_step",
-    "freeze_mask",
 ]

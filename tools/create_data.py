@@ -1,0 +1,45 @@
+"""Offline data preparation CLI (reference tools/create_data.py).
+
+    python tools/create_data.py nuscenes --root data/nuscenes \
+        --out data/nuscenes --version v1.0-trainval --max-sweeps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="Generate dataset info pkls")
+    p.add_argument("dataset", choices=["nuscenes", "synthetic"])
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--version", default="v1.0-trainval")
+    p.add_argument("--max-sweeps", type=int, default=10)
+    p.add_argument(
+        "--num-samples", type=int, default=4, help="synthetic only: samples to write"
+    )
+    args = p.parse_args()
+    out = args.out or args.root
+
+    if args.dataset == "synthetic":
+        from deepinteraction_tpu.utils.synthetic_nuscenes import write_synthetic_nuscenes
+
+        write_synthetic_nuscenes(args.root, num_samples=args.num_samples)
+        args.version = "v1.0-mini"
+
+    from deepinteraction_tpu.data.nuscenes_converter import create_nuscenes_infos
+
+    paths = create_nuscenes_infos(
+        args.root, out, version=args.version, max_sweeps=args.max_sweeps
+    )
+    for path in paths:
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

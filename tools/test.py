@@ -1,0 +1,116 @@
+"""Evaluation CLI: checkpoint -> nuScenes val metrics (NDS / mAP / TP errors).
+
+Counterpart of the reference's tools/test.py: bumps num_proposals to 400 at
+test time (reference tools/test.py:155), runs the jitted fusion forward over
+the val split, decodes boxes on-device, and evaluates with the built-in
+devkit-free metric implementation (eval/nuscenes_metrics.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate DeepInteraction-TPU")
+    p.add_argument("config", choices=["fusion_base", "fusion_plusplus", "tiny"])
+    p.add_argument("--infos", required=True, help="val info pkl")
+    p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    p.add_argument("--out", default=None, help="write raw detections pkl here")
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepinteraction_tpu.configs import apply_overrides
+    from deepinteraction_tpu.data import DataLoader, NuScenesDataset
+    from deepinteraction_tpu.eval.nuscenes_metrics import evaluate_detections
+    from deepinteraction_tpu.eval.results import gt_frame_from_info, predictions_to_frame
+    from deepinteraction_tpu.inference import get_bboxes
+    from deepinteraction_tpu.models.detector import DeepInteraction
+    from deepinteraction_tpu.train.checkpoint import load_params
+    from deepinteraction_tpu.train.step import create_train_state
+    from deepinteraction_tpu.utils.testing import make_synthetic_batch
+
+    from tools.train import get_config
+
+    cfg = get_config(args.config)
+    if args.cfg_options:
+        cfg = apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.cfg_options))
+
+    dataset = NuScenesDataset(cfg, args.infos, train=False)
+    n_dev = len(jax.devices())
+    batch_size = cfg.data.samples_per_device * n_dev
+    loader = DataLoader(dataset, batch_size, num_workers=args.num_workers)
+
+    # test-time proposal bump (reference tools/test.py:155)
+    model = DeepInteraction(
+        cfg.model, cfg.data.padded_img_shape, num_proposals=cfg.test_num_proposals
+    )
+    init_batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(cfg, b=batch_size).items()
+    }
+    variables = model.init(jax.random.PRNGKey(0), init_batch, False)
+    if args.checkpoint:
+        state = create_train_state(cfg, variables, total_steps=1)
+        state = load_params(args.checkpoint, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        print(f"loaded params from {args.checkpoint}")
+
+    dcfg = cfg.model.pts_bbox_head
+
+    @jax.jit
+    def forward(variables, batch):
+        preds = model.apply(variables, batch, False)
+        return get_bboxes(preds, dcfg, cfg.model.bbox_coder, cfg.test_num_proposals)
+
+    pred_frames, tokens = [], []
+    t0 = time.time()
+    n_frames = 0
+    for batch in loader.epoch(0, shuffle=False):
+        pad = batch.pop("pad_count", 0)
+        toks = batch.pop("token")
+        det = forward(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+        det = jax.tree_util.tree_map(np.asarray, det)
+        b = len(toks) - pad
+        for i in range(b):
+            pred_frames.append(
+                predictions_to_frame(
+                    det.boxes[i], det.scores[i], det.labels[i], det.keep[i],
+                    cfg.data.class_names,
+                )
+            )
+            tokens.append(toks[i])
+        n_frames += b
+        if n_frames % 100 < batch_size:
+            print(f"{n_frames}/{len(dataset)} frames, "
+                  f"{n_frames / (time.time() - t0):.2f} fps")
+    loader.close()
+
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump({"tokens": tokens, "frames": pred_frames}, f)
+
+    info_by_token = {i["token"]: i for i in dataset.infos}
+    gt_frames = [gt_frame_from_info(info_by_token[t]) for t in tokens]
+    metrics = evaluate_detections(gt_frames, pred_frames, cfg.data.class_names)
+    print(json.dumps(metrics, indent=2, sort_keys=True))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

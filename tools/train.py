@@ -1,0 +1,157 @@
+"""Training CLI.
+
+TPU-native counterpart of the reference's tools/train.py: config selection
++ dot-path overrides (--cfg-options), deterministic seeding, data-parallel
+mesh, cyclic AdamW, per-epoch checkpoints, text + TensorBoard-format JSON
+logging with the reference's loss-dict keys.
+
+Usage:
+    python tools/train.py fusion_base --work-dir work_dirs/base \
+        --infos data/nuscenes_infos_train.pkl \
+        --cfg-options optim.total_epochs=6 data.samples_per_device=2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train DeepInteraction-TPU")
+    p.add_argument("config", choices=["fusion_base", "fusion_plusplus", "tiny"])
+    p.add_argument("--infos", required=True, help="train info pkl")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--load-from", default=None, help="params-only warm start dir")
+    p.add_argument("--resume-from", default=None, help="full-state resume dir")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument(
+        "--cfg-options",
+        nargs="*",
+        default=[],
+        help="dot-path overrides, e.g. optim.lr=1e-4",
+    )
+    return p.parse_args()
+
+
+def get_config(name: str):
+    from deepinteraction_tpu.configs import (
+        fusion_base_config,
+        fusion_plusplus_config,
+        tiny_config,
+    )
+
+    return {
+        "fusion_base": fusion_base_config,
+        "fusion_plusplus": fusion_plusplus_config,
+        "tiny": tiny_config,
+    }[name]()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deepinteraction_tpu.configs import apply_overrides
+    from deepinteraction_tpu.data import DataLoader, NuScenesDataset
+    from deepinteraction_tpu.models.detector import DeepInteraction
+    from deepinteraction_tpu.parallel.mesh import make_mesh
+    from deepinteraction_tpu.train.checkpoint import (
+        load_params,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from deepinteraction_tpu.train.step import create_train_state, make_train_step
+    from deepinteraction_tpu.utils.testing import make_synthetic_batch
+
+    # multi-host: one process per host, jax.distributed handles the rest
+    if "JAX_COORDINATOR" in os.environ:
+        jax.distributed.initialize()
+
+    cfg = get_config(args.config)
+    overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    work_dir = args.work_dir or cfg.work_dir
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, "config.json"), "w") as f:
+        json.dump({"config": args.config, "overrides": overrides}, f)
+
+    dataset = NuScenesDataset(cfg, args.infos, train=True, seed=args.seed)
+    n_dev = len(jax.devices())
+    batch_size = cfg.data.samples_per_device * n_dev
+    loader = DataLoader(dataset, batch_size, num_workers=args.num_workers)
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    total_steps = steps_per_epoch * cfg.optim.total_epochs
+
+    model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
+    rng = jax.random.PRNGKey(args.seed)
+    init_batch = {
+        k: jnp.asarray(v[:batch_size] if hasattr(v, "shape") else v)
+        for k, v in make_synthetic_batch(cfg, b=batch_size, with_gt=True).items()
+    }
+    variables = model.init(rng, init_batch, False)
+    state = create_train_state(cfg, variables, total_steps)
+
+    if args.resume_from:
+        state = restore_checkpoint(args.resume_from, state)
+        print(f"resumed from {args.resume_from} at step {int(state.step)}")
+    elif args.load_from:
+        state = load_params(args.load_from, state)
+        print(f"warm-started params from {args.load_from}")
+
+    mesh = make_mesh(data=n_dev)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+    step_fn = jax.jit(make_train_step(cfg, model, total_steps), donate_argnums=0)
+
+    log_path = os.path.join(work_dir, "train_log.jsonl")
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, cfg.optim.total_epochs):
+        t_data = time.time()
+        for it, batch in enumerate(loader.epoch(epoch)):
+            batch = {
+                k: jax.device_put(jnp.asarray(v), shard)
+                for k, v in batch.items()
+                if k != "token"
+            }
+            data_time = time.time() - t_data
+            rng, sub = jax.random.split(rng)
+            t0 = time.time()
+            state, metrics = step_fn(state, batch, sub)
+            if (it + 1) % cfg.optim.log_interval_steps == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics.update(
+                    epoch=epoch,
+                    iter=it + 1,
+                    step=int(state.step),
+                    time=time.time() - t0,
+                    data_time=data_time,
+                )
+                print(
+                    f"Epoch[{epoch}][{it+1}/{steps_per_epoch}] "
+                    f"loss={metrics['loss_total']:.4f} "
+                    f"heatmap={metrics['loss_heatmap']:.4f} "
+                    f"matched_ious={metrics['matched_ious']:.4f}"
+                )
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(metrics) + "\n")
+            t_data = time.time()
+        if (epoch + 1) % cfg.optim.checkpoint_interval_epochs == 0:
+            save_checkpoint(os.path.join(work_dir, "ckpts"), state, int(state.step))
+            print(f"saved checkpoint at epoch {epoch}")
+    loader.close()
+
+
+if __name__ == "__main__":
+    main()

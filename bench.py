@@ -14,12 +14,17 @@ Prints one JSON line: frames/sec/chip vs the BASELINE.json target of
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 from deepinteraction_tpu.configs import fusion_base_config
 from deepinteraction_tpu.inference import get_bboxes
@@ -54,18 +59,21 @@ def main() -> None:
         preds = model.apply(variables, batch, False)
         return get_bboxes(preds, dcfg, cfg.model.bbox_coder, cfg.test_num_proposals)
 
+    # NB: under the axon tunnel block_until_ready returns before the device
+    # finishes; a host transfer (np.asarray) is the only honest fence.
+    fence = lambda o: np.asarray(o.scores).sum()
+
     t0 = time.time()
-    out = forward(variables, batch)
-    jax.block_until_ready(out)
+    fence(forward(variables, batch))
     compile_s = time.time() - t0
 
     for _ in range(WARMUP):
-        jax.block_until_ready(forward(variables, batch))
+        fence(forward(variables, batch))
 
     t0 = time.time()
     for _ in range(ITERS):
         out = forward(variables, batch)
-    jax.block_until_ready(out)
+        fence(out)
     per_frame = (time.time() - t0) / ITERS
     fps = 1.0 / per_frame
 

@@ -134,14 +134,16 @@ class MMRIEncoderConfig:
     # (reference's dynamic group_attn buckets cap at 120,
     #  models/utils/encoder_utils.py:226).
     i2p_max_keys: int = 120
+    dropout: float = 0.1
     # ++ only: number of deformable attention sampling points per level
     deform_num_points: int = 4
     num_levels: int = 2
     num_heads: int = 8
-    # ++ polar ray block
+    # ++ polar ray block: (r_min, r_max, r_step) in metres
+    # (reference MMRI_I2P_Polar radius_range, fusion_transformerv4.py:490)
     use_polar_i2p: bool = False
-    polar_num_rays: int = 200
-    polar_num_depth_bins: int = 64
+    polar_radius_range: Tuple[float, float, float] = (1.0, 61.0, 1.0)
+    polar_num_z_bins: int = 10
 
 
 @dataclass(frozen=True)
@@ -165,6 +167,9 @@ class AssignerConfig:
     cls_cost_gamma: float = 2.0
     reg_cost_weight: float = 0.25
     iou_cost_weight: float = 0.25
+    # 'callback' = scipy LAP via pure_callback (exact; needs host-callback
+    # support); 'auction' = on-device parallel auction (axon tunnel)
+    lap_impl: str = "callback"
 
 
 @dataclass(frozen=True)

@@ -189,3 +189,24 @@ def tiny_config() -> Config:
         samples_per_device=1,
     )
     return Config(model=model, data=data, optim=OptimConfig(total_epochs=1), test_num_proposals=8)
+
+
+def tiny_pp_config() -> Config:
+    """Tiny DeepInteraction++ topology (FusionTransformer neck, polar I2P,
+    V2 MMPI blocks) for tests and dry-runs."""
+    cfg = tiny_config()
+    model = dataclasses.replace(
+        cfg.model,
+        imgpts_neck=dataclasses.replace(
+            cfg.model.imgpts_neck,
+            variant="pp",
+            num_layers=1,
+            num_levels=2,
+            num_heads=4,
+            use_polar_i2p=True,
+            polar_radius_range=(1.0, 9.0, 1.0),
+            polar_num_z_bins=4,
+        ),
+        pts_bbox_head=dataclasses.replace(cfg.model.pts_bbox_head, variant="pp"),
+    )
+    return dataclasses.replace(cfg, model=model)

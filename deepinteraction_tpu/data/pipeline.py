@@ -23,6 +23,7 @@ Deliberate deviations from the reference, documented:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -35,6 +36,18 @@ def load_points(path: str, load_dim: int = 5) -> np.ndarray:
     return pts
 
 
+USE_NATIVE_IO = os.environ.get("DI_TPU_NATIVE_IO", "1") == "1"
+_NO_RANGE = (-1e9, -1e9, -1e9, 1e9, 1e9, 1e9)
+
+
+def _sweep_choice(num_available: int, num_sweeps: int, rng):
+    if num_available <= num_sweeps:
+        return np.arange(num_available)
+    if rng is not None:
+        return rng.choice(num_available, num_sweeps, replace=False)
+    return np.arange(num_sweeps)
+
+
 def load_sweep_points(
     info: dict,
     num_sweeps: int,
@@ -44,18 +57,34 @@ def load_sweep_points(
     """Key points + transformed sweeps with relative timestamps
     (mmdet3d LoadPointsFromMultiSweeps semantics: key ts column zeroed,
     sweep ts = (key_ts - sweep_ts)/1e6; random sweep choice in train,
-    first-n in eval)."""
+    first-n in eval). Uses the native C++ loader (data/native) when built;
+    numpy otherwise."""
+    sweeps = info["sweeps"]
+    choices = _sweep_choice(len(sweeps), num_sweeps, rng)
+    ts_key = info["timestamp"] / 1e6
+
+    if USE_NATIVE_IO:
+        from . import native
+
+        if native.available():
+            chosen = [sweeps[int(i)] for i in choices]
+            paths = [info["lidar_path"]] + [s["data_path"] for s in chosen]
+            rots = np.stack(
+                [np.eye(3)] + [np.asarray(s["sensor2lidar_rotation"]) for s in chosen]
+            )
+            trans = np.stack(
+                [np.zeros(3)] + [np.asarray(s["sensor2lidar_translation"]) for s in chosen]
+            )
+            ts = np.asarray([0.0] + [ts_key - s["timestamp"] / 1e6 for s in chosen])
+            cap = 400000 * (1 + len(chosen))
+            pts, _, n = native.assemble_points(
+                paths, rots, trans, ts, _NO_RANGE, cap, load_dim
+            )
+            return pts[:n]
+
     key = load_points(info["lidar_path"], load_dim)
     key[:, 4] = 0.0
-    sweeps = info["sweeps"]
     out = [key]
-    if len(sweeps) <= num_sweeps:
-        choices = np.arange(len(sweeps))
-    elif rng is not None:
-        choices = rng.choice(len(sweeps), num_sweeps, replace=False)
-    else:
-        choices = np.arange(num_sweeps)
-    ts_key = info["timestamp"] / 1e6
     for i in choices:
         sw = sweeps[int(i)]
         pts = load_points(sw["data_path"], load_dim)
@@ -67,11 +96,11 @@ def load_sweep_points(
     return np.concatenate(out, axis=0)
 
 
-def lidar2img_matrices(info: dict) -> Tuple[np.ndarray, List[str]]:
-    """Per-camera 4x4 lidar->image matrices (intrinsic @ lidar2cam), the
-    construction of CustomNuScenesDataset.get_data_info
-    (nuscenes_dataset.py:50-66)."""
-    mats, paths = [], []
+def lidar2img_matrices(info: dict) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Per-camera 4x4 lidar->image and cam->lidar matrices, the construction
+    of CustomNuScenesDataset.get_data_info (nuscenes_dataset.py:50-83; the ++
+    polar block consumes cam2lidar)."""
+    mats, c2ls, paths = [], [], []
     for cam in info["cams"].values():
         r = np.asarray(cam["sensor2lidar_rotation"], np.float64)
         t = np.asarray(cam["sensor2lidar_translation"], np.float64)
@@ -82,8 +111,12 @@ def lidar2img_matrices(info: dict) -> Tuple[np.ndarray, List[str]]:
         intr = np.asarray(cam["cam_intrinsic"], np.float64)
         viewpad[: intr.shape[0], : intr.shape[1]] = intr
         mats.append(viewpad @ l2c)
+        c2l = np.eye(4)
+        c2l[:3, :3] = r
+        c2l[:3, 3] = t
+        c2ls.append(c2l)
         paths.append(cam["data_path"])
-    return np.asarray(mats, np.float32), paths
+    return np.asarray(mats, np.float32), np.asarray(c2ls, np.float32), paths
 
 
 def rot_z(theta: float) -> np.ndarray:
@@ -271,7 +304,7 @@ def build_sample(
         boxes = np.zeros((0, 9), np.float32)
         labels = np.zeros((0,), np.int64)
 
-    lidar2img, img_paths = lidar2img_matrices(info)
+    lidar2img, cam2lidar, img_paths = lidar2img_matrices(info)
 
     aug = np.eye(4, dtype=np.float32)
     flip_h = False
@@ -298,6 +331,7 @@ def build_sample(
         "images": images,
         "lidar2img": lidar2img.astype(np.float32),
         "img2lidar": np.linalg.inv(lidar2img.astype(np.float64)).astype(np.float32),
+        "cam2lidar": cam2lidar,
         "lidar_aug": aug,
         "lidar_aug_inv": np.linalg.inv(aug.astype(np.float64)).astype(np.float32),
     }

@@ -139,6 +139,42 @@ class _RCNNCore(nn.Module):
         return nn.LayerNorm(name="norm3")(q + y)
 
 
+class _RCNNCoreV2(nn.Module):
+    """++ dual-branch trunk (ImageRCNNBlockV2/PointRCNNBlockV2,
+    decoder_utils.py:844-1090): self-attn -> norm (branch point), DynamicConv
+    + FFN on the cross branch, a separate FFN on the self branch, combined
+    with two learned scalar scales initialized at 0.5."""
+
+    hidden: int
+    num_heads: int
+    dropout: float
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, query_feat, roi_feats, attn_key_mask):
+        train = self.train_mode
+        c = self.hidden
+        y = TorchMHA(c, self.num_heads, self.dropout, name="self_attn")(
+            query_feat, query_feat, query_feat, key_mask=attn_key_mask, train=train
+        )
+        q = nn.LayerNorm(name="norm1")(query_feat + y)
+        self_feat = q
+        y = DynamicConv(c, c, name="dyconv")(q, roi_feats)
+        q = nn.LayerNorm(name="norm2")(q + y)
+        y = nn.Dense(c * 4, name="ffn_fc0")(q)
+        q = nn.LayerNorm(name="norm3")(q + nn.Dense(c, name="ffn_fc1")(nn.relu(y)))
+        y = nn.Dense(c * 4, name="self_ffn_fc0")(self_feat)
+        self_feat = self_feat + nn.Dense(c, name="self_ffn_fc1")(nn.relu(y))
+        self_feat = nn.LayerNorm(name="self_norm")(self_feat)
+        scale = self.param("scale", nn.initializers.constant(0.5), (1,))
+        self_scale = self.param("self_scale", nn.initializers.constant(0.5), (1,))
+        return q * scale + self_feat * self_scale
+
+
+def _rcnn_core(variant: str):
+    return _RCNNCoreV2 if variant == "pp" else _RCNNCore
+
+
 class ImageRCNNBlock(nn.Module):
     """Project query boxes into each view, ROI-crop image features, refine
     on-image queries (decoder_utils.py:632-761). vmapped over views."""
@@ -199,7 +235,7 @@ class ImageRCNNBlock(nn.Module):
         # refine per view with shared weights: queries attend only within
         # their view (key mask); off-view rows are discarded by the select
         VmappedCore = nn.vmap(
-            _RCNNCore,
+            _rcnn_core(cfg.variant),
             in_axes=(1, 1, 1),
             out_axes=1,
             variable_axes={"params": None, "batch_stats": None},
@@ -244,8 +280,9 @@ class PointRCNNBlock(nn.Module):
             lambda f, r: roi_align(f, r, output_size=7, spatial_scale=1.0)
         )(bev_feat, rect)  # [B, P, 7, 7, C]
         rois = rois.reshape(b, p, 49, c)
+        core = _rcnn_core(cfg.variant)
         return (
-            _RCNNCore(cfg.hidden_channel, cfg.num_heads, cfg.dropout, train, name="core")(
+            core(cfg.hidden_channel, cfg.num_heads, cfg.dropout, train, name="core")(
                 query_feat, rois, None
             ),
             None,
@@ -334,6 +371,9 @@ class Decoder(nn.Module):
         ret_dicts: List[Dict[str, jnp.ndarray]] = []
         on_image_masks: List[jnp.ndarray] = []
         heads_spec = cfg.common_heads + (("heatmap", (n_cls, cfg.num_heatmap_convs)),)
+        pp = cfg.variant == "pp"
+        # ++ look-forward center update (deepinteractionplusplus_decoder.py:281-294)
+        query_pos_look_forward = jax.lax.stop_gradient(res_layer["center"])
         for layer_idx in range(cfg.num_mmpi):
             prev_query_feat = query_feat
             query_pos = jax.lax.stop_gradient(res_layer["center"])
@@ -345,11 +385,35 @@ class Decoder(nn.Module):
                 query_feat, eff_view = PointRCNNBlock(
                     cfg, coder, name=f"mmpi{layer_idx}_pts"
                 )(prev_query_feat, res_layer, new_lidar_feat, train)
-            res_layer = PredictionFFN(heads_spec, name=f"mmpi{layer_idx}_pred")(
-                jnp.concatenate([query_feat, prev_query_feat], -1), train
+            # v1 pred heads take concat(cross, prev); ++ takes cross only
+            # (deepinteraction_decoder.py:288 vs plusplus L291)
+            pred_in = (
+                query_feat if pp else jnp.concatenate([query_feat, prev_query_feat], -1)
             )
-            res_layer["center"] = res_layer["center"] + query_pos
-            if layer_idx % 2 == 0:
+            res_layer = PredictionFFN(heads_spec, name=f"mmpi{layer_idx}_pred")(
+                pred_in, train
+            )
+            if pp:
+                pred_delta = res_layer["center"]
+                res_layer["center"] = pred_delta + query_pos_look_forward
+                query_pos_look_forward = jax.lax.stop_gradient(pred_delta) + query_pos
+            else:
+                res_layer["center"] = res_layer["center"] + query_pos
+            if pp:
+                # cumulative on-image mask ANDing; odd layers inherit
+                # (plusplus L295-302); fallback applies at every layer
+                if layer_idx % 2 == 0:
+                    on_img = eff_view >= 0
+                    if on_image_masks:
+                        on_img = on_img & on_image_masks[-1]
+                else:
+                    on_img = on_image_masks[-1]
+                on_image_masks.append(on_img)
+                res_layer = {
+                    k: jnp.where(on_img[..., None], v, first_res_layer[k])
+                    for k, v in res_layer.items()
+                }
+            elif layer_idx % 2 == 0:
                 on_img = eff_view >= 0  # [B, P]
                 on_image_masks.append(on_img)
                 # off-image queries fall back to the initial predictions

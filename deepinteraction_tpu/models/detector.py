@@ -25,6 +25,7 @@ from ..configs import ModelConfig
 from ..ops.voxelize import hard_simple_vfe, voxelize
 from .decoder import Decoder
 from .fpn import FPN
+from .fusion_transformer import FusionTransformerPP
 from .mmri_encoder import MMRIEncoder
 from .resnet import ResNet
 from .second import SECOND, SECONDFPN
@@ -64,8 +65,8 @@ class DeepInteraction(nn.Module):
             num_outs=cfg.img_neck.num_outs,
             name="img_neck",
         )(feats, train)
-        img_lvl0 = fpn_feats[0]
-        img_feats = img_lvl0.reshape((b, v) + img_lvl0.shape[1:])
+        unflat = lambda x: x.reshape((b, v) + x.shape[1:])
+        img_feats = unflat(fpn_feats[0])
 
         # ---- LiDAR branch ----
         vl = cfg.pts_voxel_layer
@@ -124,12 +125,22 @@ class DeepInteraction(nn.Module):
         )
 
         # ---- MMRI fusion ----
-        new_img, (pts_conv, new_pts) = MMRIEncoder(
-            cfg.imgpts_neck,
-            vl.point_cloud_range,
-            self.input_shape,
-            name="imgpts_neck",
-        )(img_feats, pts_feats, mmri_batch, train)
+        if cfg.imgpts_neck.variant == "pp":
+            # ++ consumes FPN levels 0-1 and all three BEV maps
+            # (reference deepinteraction.py:148: multi_scale path)
+            new_img, (pts_conv, new_pts) = FusionTransformerPP(
+                cfg.imgpts_neck,
+                vl.point_cloud_range,
+                self.input_shape,
+                name="imgpts_neck",
+            )([unflat(f) for f in fpn_feats[:2]], neck_outs, mmri_batch, train)
+        else:
+            new_img, (pts_conv, new_pts) = MMRIEncoder(
+                cfg.imgpts_neck,
+                vl.point_cloud_range,
+                self.input_shape,
+                name="imgpts_neck",
+            )(img_feats, pts_feats, mmri_batch, train)
 
         # ---- MMPI decoding ----
         preds = Decoder(

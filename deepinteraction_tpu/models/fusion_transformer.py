@@ -278,9 +278,14 @@ class FusionLayerPts(nn.Module):
         q = nn.LayerNorm(name="norm0")(q)
         qm = q.reshape(b, hb, wb, c)
         if cfg.use_polar_i2p:
-            qm = PolarI2P(cfg, self.pc_range, self.input_shape, name="polar_i2p")(
-                qm, img_map, batch, train
-            )
+            qm = PolarI2P(
+                cfg,
+                self.pc_range,
+                self.input_shape,
+                radius_range=cfg.polar_radius_range,
+                num_z_bins=cfg.polar_num_z_bins,
+                name="polar_i2p",
+            )(qm, img_map, batch, train)
             qm = nn.LayerNorm(name="norm1")(qm.reshape(b, hb * wb, c)).reshape(
                 b, hb, wb, c
             )

@@ -58,10 +58,17 @@ class MMRI_I2P(nn.Module):
 
     Single-head attention, embed dim = pts channels; in/out projections and
     scaling follow torch nn.MultiheadAttention so converted weights drop in.
+
+    Memory design: pillars stream through the projection/sample/attention in
+    fixed-size chunks (``lax.map``) — materializing all Kp x (P*V) sampled
+    keys at once costs ~3.4 GB x several live taps at eval capacities
+    (60k pillars x 120 keys x 128ch) and OOMs a 16 GB chip. Per chunk the
+    working set is ~chunk x 120 x C, giving a flat HBM profile.
     """
 
     channels: int
     max_keys: int  # = max_points_per_pillar * num_views
+    chunk: int = 4096
 
     @nn.compact
     def __call__(
@@ -82,40 +89,75 @@ class MMRI_I2P(nn.Module):
         kp, p = pillars.shape[1], pillars.shape[2]
         ih, iw = input_shape
 
-        wq = nn.Dense(c, name="q_proj")
-        wk = nn.Dense(c, name="k_proj")
-        wv = nn.Dense(c, name="v_proj")
-        wo = nn.Dense(c, name="out_proj")
+        # explicit params so the chunk body is a plain jnp function
+        init = nn.initializers.lecun_normal()
+        wq = self.param("q_proj/kernel", init, (c, c))
+        bq = self.param("q_proj/bias", nn.initializers.zeros, (c,))
+        wk = self.param("k_proj/kernel", init, (c, c))
+        bk = self.param("k_proj/bias", nn.initializers.zeros, (c,))
+        wv = self.param("v_proj/kernel", init, (c, c))
+        bv = self.param("v_proj/bias", nn.initializers.zeros, (c,))
+        wo = self.param("out_proj/kernel", init, (c, c))
+        bo = self.param("out_proj/bias", nn.initializers.zeros, (c,))
+
+        chunk = min(self.chunk, kp)
+        n_chunks = -(-kp // chunk)
+        kpad = n_chunks * chunk
+
+        def pad(x):
+            return jnp.pad(x, [(0, kpad - kp)] + [(0, 0)] * (x.ndim - 1))
 
         def per_sample(lfeat, ifeat, pil, cnt, coor, pvalid, l2i, aug_inv):
-            pts = pil[..., :3].reshape(kp * p, 3)
-            raw = transform_points(aug_inv, pts)  # undo augmentation
-            hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
+            q_all = lfeat[coor[:, 1], coor[:, 2]]  # [Kp, C]
+            qh_all = (q_all @ wq + bq) * (1.0 / jnp.sqrt(jnp.float32(c)))
 
-            def project(mat):  # one view
-                cam = hom @ mat.T  # [Kp*P, 4]
-                eps = 1e-5
-                depth_ok = cam[:, 2] > eps
-                xy = cam[:, :2] / jnp.maximum(cam[:, 2:3], eps)
-                gx = (xy[:, 0] / iw - 0.5) * 2.0
-                gy = (xy[:, 1] / ih - 0.5) * 2.0
-                ok = depth_ok & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1)
-                return jnp.stack([gx, gy], -1), ok
+            def chunk_fn(args):
+                pil_c, cnt_c, qh = args  # [Ck, P, D], [Ck], [Ck, C]
+                pts = pil_c[..., :3].reshape(chunk * p, 3)
+                raw = transform_points(aug_inv, pts)
+                hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
 
-            grids, oks = jax.vmap(project)(l2i)  # [V, Kp*P, 2], [V, Kp*P]
-            sampled = jax.vmap(grid_sample_2d)(ifeat, grids)  # [V, Kp*P, C]
-            # [Kp, P, V, C] -> [Kp, P*V, C]; key mask needs point validity too
-            keys = sampled.reshape(v, kp, p, c).transpose(1, 2, 0, 3)
-            kmask = oks.reshape(v, kp, p).transpose(1, 2, 0)  # [Kp, P, V]
-            pt_ok = jnp.arange(p)[None, :] < cnt[:, None]  # [Kp, P]
-            kmask = kmask & pt_ok[:, :, None]
-            keys = keys.reshape(kp, p * v, c)
-            kmask = kmask.reshape(kp, p * v)
+                def project(mat):  # one view
+                    cam = hom @ mat.T
+                    eps = 1e-5
+                    depth_ok = cam[:, 2] > eps
+                    xy = cam[:, :2] / jnp.maximum(cam[:, 2:3], eps)
+                    gx = (xy[:, 0] / iw - 0.5) * 2.0
+                    gy = (xy[:, 1] / ih - 0.5) * 2.0
+                    ok = depth_ok & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1)
+                    return jnp.stack([gx, gy], -1), ok
 
-            q = lfeat[coor[:, 1], coor[:, 2]]  # [Kp, C]
-            return keys, kmask, q
+                grids, oks = jax.vmap(project)(l2i)  # [V, Ck*P, 2]
+                sampled = jax.vmap(grid_sample_2d)(ifeat, grids)  # [V, Ck*P, C]
+                keys = sampled.reshape(v, chunk, p, c).transpose(1, 2, 0, 3)
+                kmask = oks.reshape(v, chunk, p).transpose(1, 2, 0)
+                pt_ok = jnp.arange(p)[None, :] < cnt_c[:, None]
+                kmask = (kmask & pt_ok[:, :, None]).reshape(chunk, p * v)
+                keys = keys.reshape(chunk, p * v, c)
 
-        keys, kmask, q = jax.vmap(per_sample)(
+                kh = keys @ wk + bk
+                vh = keys @ wv + bv
+                logits = jnp.einsum("qc,qkc->qk", qh, kh)
+                logits = jnp.where(kmask, logits, -jnp.inf)
+                attn = jax.nn.softmax(logits, axis=-1)
+                any_key = jnp.any(kmask, -1)
+                attn = jnp.where(any_key[:, None], attn, 0.0)
+                o = jnp.einsum("qk,qkc->qc", attn, vh) @ wo + bo
+                return o, any_key
+
+            # remat: the backward pass re-samples each chunk instead of
+            # storing every chunk's keys (trades cheap gathers for ~GBs)
+            outs, any_key = jax.lax.map(
+                jax.checkpoint(chunk_fn),
+                (
+                    pad(pil).reshape(n_chunks, chunk, p, pil.shape[-1]),
+                    pad(cnt).reshape(n_chunks, chunk),
+                    pad(qh_all).reshape(n_chunks, chunk, c),
+                ),
+            )
+            return outs.reshape(kpad, c)[:kp], any_key.reshape(kpad)[:kp]
+
+        out, any_key = jax.vmap(per_sample)(
             lidar_feat,
             img_feats,
             pillars,
@@ -125,17 +167,7 @@ class MMRI_I2P(nn.Module):
             lidar2img,
             lidar_aug_inv,
         )
-        # single-head attention over fixed K keys
-        qh = wq(q) * (1.0 / jnp.sqrt(jnp.float32(c)))
-        kh = wk(keys)
-        vh = wv(keys)
-        logits = jnp.einsum("bqc,bqkc->bqk", qh, kh)
-        logits = jnp.where(kmask, logits, -jnp.inf)
-        attn = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.where(jnp.any(kmask, -1, keepdims=True), attn, 0.0)
-        out = wo(jnp.einsum("bqk,bqkc->bqc", attn, vh))  # [B, Kp, C]
-
-        has_key = jnp.any(kmask, -1) & pillar_valid  # reference `valid` gate
+        has_key = any_key & pillar_valid  # reference `valid` gate
         out = jnp.where(has_key[..., None], out, 0.0)
 
         # scatter back to the BEV grid (zeros elsewhere)

@@ -110,7 +110,9 @@ def build_targets(
     )(boxes, scores, gt_boxes, gt_labels, gt_mask)  # [B, L, P, G] both
 
     num_gt = jnp.sum(gt_mask.astype(jnp.int32), -1)  # [B]
-    assign = hungarian_assign(cost, jnp.broadcast_to(num_gt[:, None], (b, nl)))
+    assign = hungarian_assign(
+        cost, jnp.broadcast_to(num_gt[:, None], (b, nl)), impl=acfg.lap_impl
+    )
     # [B, L, P] col index or -1
     matched = assign >= 0
     safe = jnp.maximum(assign, 0)
@@ -182,12 +184,19 @@ def detection_loss(
 
     label_w = t.label_weights.reshape(b, nl, p)
     bbox_w = t.bbox_weights.reshape(b, nl, p, -1)
-    # even (image) layers: off-image queries carry no loss
-    # (decoder L504-509); on_image_masks is [nl//2, B, P]
     om = preds["on_image_masks"].astype(jnp.float32)
-    for li in range(0, nl, 2):
-        label_w = label_w.at[:, li].multiply(om[li // 2])
-        bbox_w = bbox_w.at[:, li].multiply(om[li // 2][..., None])
+    if om.shape[0] == nl:
+        # ++: cumulative mask applied to EVERY layer
+        # (deepinteractionplusplus_decoder.py:511-515)
+        masks = jnp.transpose(om, (1, 0, 2))  # [B, nl, P]
+        label_w = label_w * masks
+        bbox_w = bbox_w * masks[..., None]
+    else:
+        # v1: even (image) layers only; off-image queries carry no loss
+        # (deepinteraction_decoder.py:504-509); on_image_masks is [nl//2, B, P]
+        for li in range(0, nl, 2):
+            label_w = label_w.at[:, li].multiply(om[li // 2])
+            bbox_w = bbox_w.at[:, li].multiply(om[li // 2][..., None])
 
     losses: Dict[str, jnp.ndarray] = {}
     hm_pred = clip_sigmoid(preds["dense_heatmap"])  # [B, Hb, Wb, ncls]

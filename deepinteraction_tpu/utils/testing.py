@@ -54,12 +54,14 @@ def make_synthetic_batch(
         l2i[:, i] = intr @ rot
     eye = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 4, 4)).copy()
 
+    c2l = np.linalg.inv(l2i.astype(np.float64)).astype(np.float32)  # intr folded in
     batch = {
         "points": pts,
         "points_mask": mask,
         "images": imgs,
         "lidar2img": l2i,
         "img2lidar": np.linalg.inv(l2i),
+        "cam2lidar": c2l,
         "lidar_aug": eye,
         "lidar_aug_inv": eye,
     }

@@ -20,3 +20,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # fp32 tests must not silently run matmuls in bf16 (TPU default)
 jax.config.update("jax_default_matmul_precision", "highest")
+# the host is heavily CPU-throttled; persist compiled executables across
+# pytest processes so reruns skip the multi-minute compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,55 @@
+"""On-device auction LAP vs scipy's exact optimum."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from deepinteraction_tpu.ops.hungarian import auction_assign, hungarian_assign
+
+
+def _cost_of(cost, assign):
+    total = 0.0
+    for i, j in enumerate(assign):
+        if j >= 0:
+            total += cost[i, j]
+    return total
+
+
+@pytest.mark.parametrize("p,g,ng", [(20, 10, 10), (30, 30, 17), (8, 8, 8)])
+def test_auction_matches_scipy_objective(p, g, ng):
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        cost = rng.uniform(0, 5, size=(p, g)).astype(np.float32)
+        a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(ng)))
+        rows, cols = linear_sum_assignment(cost[:, :ng])
+        ref = np.full(p, -1)
+        ref[rows] = cols
+        # every valid column assigned exactly once
+        assigned = a[a >= 0]
+        assert len(assigned) == ng
+        assert len(set(assigned.tolist())) == ng
+        assert (assigned < ng).all()
+        # objective within epsilon-optimality of the exact solution
+        assert _cost_of(cost, a) <= _cost_of(cost, ref) + 0.01 * ng
+
+
+def test_auction_zero_gt():
+    cost = np.ones((10, 5), np.float32)
+    a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(0)))
+    assert (a == -1).all()
+
+
+def test_auction_batched_matches_callback():
+    rng = np.random.default_rng(1)
+    cost = rng.uniform(0, 3, size=(2, 3, 12, 8)).astype(np.float32)
+    ng = np.array([[8, 8, 8], [5, 5, 5]], np.int32)
+    a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(ng)))
+    c = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(ng), impl="callback"))
+    assert a.shape == c.shape == (2, 3, 12)
+    for b in range(2):
+        for l in range(3):
+            ca = _cost_of(cost[b, l], a[b, l])
+            cc = _cost_of(cost[b, l], c[b, l])
+            assert (a[b, l] >= 0).sum() == (c[b, l] >= 0).sum()
+            assert ca <= cc + 0.01 * int(ng[b, l])

@@ -79,6 +79,11 @@ def main():
 
     cfg = get_config(args.config)
     overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
+    if "model.assigner.lap_impl" not in overrides:
+        from deepinteraction_tpu.ops.hungarian import default_lap_impl
+
+        overrides["model.assigner.lap_impl"] = default_lap_impl()
+        print("lap_impl:", overrides["model.assigner.lap_impl"])
     if overrides:
         cfg = apply_overrides(cfg, overrides)
     work_dir = args.work_dir or cfg.work_dir

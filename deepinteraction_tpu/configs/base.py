@@ -272,7 +272,11 @@ class DataConfig:
     translation_std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     flip_ratio_horizontal: float = 0.5
     flip_ratio_vertical: float = 0.5
-    # GT-paste augmentation fades out at this epoch (reference core/hook/fading.py)
+    # GT-paste augmentation (mmdet3d ObjectSample): database pkl from
+    # data/gt_database.create_gt_database + per-class sample targets;
+    # fades out at fade_epoch (reference core/hook/fading.py)
+    gt_database: Optional[str] = None
+    sample_groups: Tuple[Tuple[str, int], ...] = ()
     fade_epoch: Optional[int] = None
 
     @property

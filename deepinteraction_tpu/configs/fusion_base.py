@@ -54,7 +54,11 @@ def fusion_base_config() -> Config:
             voxel_size=PILLAR_SIZE,
             point_cloud_range=PC_RANGE,
             max_num_points=20,
-            max_voxels=(30000, 60000),
+            # reference eval cap is 60000 (Fusion_0075_refactor.py:155) but
+            # the 0.6 m pillar grid only HAS 180*180 = 32400 cells — the
+            # static capacity is clamped to the true maximum, cutting the
+            # I2P attention's padded workload by half at eval
+            max_voxels=(30000, 32400),
         ),
         pts_middle_encoder=SparseEncoderConfig(
             in_channels=5,

@@ -9,6 +9,7 @@ max pool size — replicated here.
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Dict, List, Optional, Sequence
 
@@ -66,24 +67,39 @@ class NuScenesDataset:
         train: bool,
         use_cbgs: Optional[bool] = None,
         seed: int = 0,
+        gt_database: Optional[str] = None,
+        sample_groups: Optional[Dict[str, int]] = None,
     ):
         self.cfg = cfg
         self.train = train
         self.infos = load_infos(info_path)
         self.seed = seed
+        self.epoch = 0  # loader sets this; drives the Fading hook
         use_cbgs = train if use_cbgs is None else use_cbgs
         if use_cbgs:
             self.indices = cbgs_indices(self.infos, cfg.data.class_names, seed)
         else:
             self.indices = np.arange(len(self.infos))
+        self.sampler = None
+        if train and gt_database:
+            from .gt_database import ObjectSampler
+
+            self.sampler = ObjectSampler(
+                gt_database,
+                os.path.dirname(gt_database),
+                sample_groups or {},
+            )
 
     def __len__(self) -> int:
         return len(self.indices)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         info = self.infos[int(self.indices[i])]
-        rng = np.random.default_rng((self.seed, i)) if self.train else None
-        return build_sample(info, self.cfg, self.train, rng)
+        rng = np.random.default_rng((self.seed, self.epoch, i)) if self.train else None
+        return build_sample(
+            info, self.cfg, self.train, rng,
+            sampler=self.sampler, epoch=self.epoch,
+        )
 
     def epoch_indices(self, epoch: int, shuffle: bool = True) -> np.ndarray:
         idx = np.arange(len(self))

@@ -61,6 +61,8 @@ class DataLoader:
 
     def epoch(self, epoch: int = 0, shuffle: Optional[bool] = None) -> Iterator[Dict]:
         train = getattr(self.dataset, "train", False)
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch  # drives GT-paste fading
         shuffle = train if shuffle is None else shuffle
         idx = self.dataset.epoch_indices(epoch, shuffle)
         bs = self.batch_size

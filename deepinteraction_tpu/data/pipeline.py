@@ -280,6 +280,8 @@ def build_sample(
     train: bool,
     rng: Optional[np.random.Generator] = None,
     class_names: Optional[Sequence[str]] = None,
+    sampler=None,  # data.gt_database.ObjectSampler (GT paste)
+    epoch: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Full pipeline for one sample. Returns the detector's batch dict
     (models/detector.py docstring) without the leading batch dim."""
@@ -308,6 +310,11 @@ def build_sample(
 
     aug = np.eye(4, dtype=np.float32)
     flip_h = False
+    if train and sampler is not None:
+        from .gt_database import fading_active
+
+        if fading_active(epoch, d.fade_epoch):
+            points, boxes, labels = sampler(points, boxes, labels, class_names, rng)
     if train:
         points, boxes, a = global_rot_scale_trans(
             points, boxes, rng, d.rot_range, d.scale_ratio_range, d.translation_std

@@ -22,6 +22,7 @@ Layouts: images [B, V, H, W, C]; BEV [B, Hb, Wb, C]; channels-last.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -30,7 +31,7 @@ from flax import linen as nn
 
 from ..configs import MMRIEncoderConfig
 from ..ops.depth_fill import fill_in_multiscale
-from ..ops.local_attention import local_attention
+from ..ops.local_attention_pallas import local_attention_auto as local_attention
 from ..utils.geometry import grid_sample_2d, transform_points
 from .layers import ConvBNReLU
 
@@ -68,7 +69,12 @@ class MMRI_I2P(nn.Module):
 
     channels: int
     max_keys: int  # = max_points_per_pillar * num_views
-    chunk: int = 4096
+    # perf knobs (env-overridable for A/B benchmarking). Measured on v5e:
+    # fp32 @ 4096 = best; bf16 sampling and bigger chunks were NOT faster
+    # (TPU gathers are element-rate-bound, so halving bytes doesn't help
+    # and the converts add work).
+    chunk: int = int(os.environ.get("DI_I2P_CHUNK", "4096"))
+    dtype: str = os.environ.get("DI_I2P_DTYPE", "float32")
 
     @nn.compact
     def __call__(
@@ -103,11 +109,13 @@ class MMRI_I2P(nn.Module):
         chunk = min(self.chunk, kp)
         n_chunks = -(-kp // chunk)
         kpad = n_chunks * chunk
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
         def pad(x):
             return jnp.pad(x, [(0, kpad - kp)] + [(0, 0)] * (x.ndim - 1))
 
         def per_sample(lfeat, ifeat, pil, cnt, coor, pvalid, l2i, aug_inv):
+            ifeat = ifeat.astype(cdt)
             q_all = lfeat[coor[:, 1], coor[:, 2]]  # [Kp, C]
             qh_all = (q_all @ wq + bq) * (1.0 / jnp.sqrt(jnp.float32(c)))
 
@@ -133,16 +141,25 @@ class MMRI_I2P(nn.Module):
                 kmask = oks.reshape(v, chunk, p).transpose(1, 2, 0)
                 pt_ok = jnp.arange(p)[None, :] < cnt_c[:, None]
                 kmask = (kmask & pt_ok[:, :, None]).reshape(chunk, p * v)
-                keys = keys.reshape(chunk, p * v, c)
+                # bilinear interp upcasts to f32; back to the compute dtype
+                # so K/V projections hit the MXU's bf16 path
+                keys = keys.reshape(chunk, p * v, c).astype(cdt)
 
-                kh = keys @ wk + bk
-                vh = keys @ wv + bv
-                logits = jnp.einsum("qc,qkc->qk", qh, kh)
+                kh = keys @ wk.astype(cdt) + bk.astype(cdt)
+                vh = keys @ wv.astype(cdt) + bv.astype(cdt)
+                logits = jnp.einsum(
+                    "qc,qkc->qk", qh.astype(cdt), kh,
+                    preferred_element_type=jnp.float32,
+                )
                 logits = jnp.where(kmask, logits, -jnp.inf)
                 attn = jax.nn.softmax(logits, axis=-1)
                 any_key = jnp.any(kmask, -1)
                 attn = jnp.where(any_key[:, None], attn, 0.0)
-                o = jnp.einsum("qk,qkc->qc", attn, vh) @ wo + bo
+                av = jnp.einsum(
+                    "qk,qkc->qc", attn.astype(cdt), vh,
+                    preferred_element_type=jnp.float32,
+                )
+                o = av @ wo + bo
                 return o, any_key
 
             # remat: the backward pass re-samples each chunk instead of

@@ -1,4 +1,4 @@
-"""Sparse 3D middle encoder (mmdet3d ``SparseEncoder`` rebuilt on the COO ops).
+"""Sparse 3D middle encoder (mmdet3d ``SparseEncoder`` rebuilt on TPU ops).
 
 Reference topology (config Fusion_0075_refactor.py:160-168, block_type
 'basicblock', channels ((16,16,32),(32,32,64),(64,64,128),(128,128))):
@@ -11,9 +11,20 @@ Reference topology (config Fusion_0075_refactor.py:160-168, block_type
     conv_out: SparseConv k(3,1,1) s(2,1,1) pad 0, 128->128 + BN + ReLU
     -> dense BEV [ny/8, nx/8, 128*2]
 
+Two interchangeable implementations (same parameters, same math), selected
+with env ``DI_SPARSE_IMPL``:
+
+- ``dense`` (default): submanifold conv == dense conv3d over a zero-filled
+  grid read back at the active sites — inactive sites are zero so they
+  contribute nothing. Replaces 27-way row gathers (element-rate-bound on
+  TPU, measured ~100x below HBM bandwidth) with MXU-native convolutions +
+  one scatter/gather pair per conv. Costs the dense grid in HBM
+  (5.4 GB fp32 at stage 0, eval capacity) — a memory-for-speed trade.
+- ``gather``: fixed-capacity COO with dense-index-map neighbor tables and
+  one fused [K, 27*Cin] x [27*Cin, Cout] matmul per conv. Flat, low-memory
+  profile for training at larger batches.
+
 TPU design notes:
-- one submanifold neighbor table per stage (shared by every SubM conv in the
-  stage), built with sorted-id binary search — per sample, vmapped.
 - BatchNorm statistics span ALL samples' active voxels (torch BN1d over the
   concatenated voxel list), hence masked BN outside the vmap.
 - static per-stage capacities come from config.stage_capacities.
@@ -21,6 +32,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -34,6 +46,11 @@ from .layers import MaskedBatchNorm
 BN_MOM = 0.01  # torch momentum (mmdet3d SparseEncoder default)
 BN_EPS = 1e-3
 
+# 'gather' measured fastest end-to-end on v5e (1.088 vs 1.056 fps): the
+# dense path only fits the small late stages, where scatter/conv/gather
+# overhead eats its MXU win. Kept selectable for future space-to-depth work.
+SPARSE_IMPL = os.environ.get("DI_SPARSE_IMPL", "gather")
+
 
 def _vmap_subm_table(coords, valid, shape, kernel=(3, 3, 3)):
     def one(c, v):
@@ -43,23 +60,71 @@ def _vmap_subm_table(coords, valid, shape, kernel=(3, 3, 3)):
     return jax.vmap(one)(coords, valid)
 
 
+class _Stage:
+    """Per-stage conv executor over [B, K, C] features with static
+    coords/valid/shape; hides the gather-vs-dense choice.
+
+    'dense' auto-degrades to 'gather' when the stage's dense grid would be
+    too large: TPU convolutions pad the channel dim to 128 lanes, so a
+    41x1440x1440 grid costs 128-lane x 4 B per cell (~43 GB) regardless of
+    the real channel count — only the downsampled stages fit.
+    """
+
+    DENSE_BYTE_LIMIT = 900e6
+
+    def __init__(self, coords, valid, shape, impl: str):
+        if impl == "dense":
+            padded_bytes = shape[0] * shape[1] * shape[2] * 128 * 4
+            if padded_bytes > self.DENSE_BYTE_LIMIT:
+                impl = "gather"
+        self.coords, self.valid, self.shape, self.impl = coords, valid, shape, impl
+        self.nbr = (
+            _vmap_subm_table(coords, valid, shape) if impl == "gather" else None
+        )
+
+    def subm(self, x, w):
+        if self.impl == "gather":
+            return jax.vmap(lambda f, n, v: sc.gathered_matmul(f, n, w, v))(
+                x, self.nbr, self.valid
+            )
+        return jax.vmap(
+            lambda f, c, v: sc.subm_conv_dense(sc.SparseTensor(f, c, v, self.shape), w)
+        )(x, self.coords, self.valid)
+
+    def down(self, x, w, kernel, stride, padding, capacity):
+        if self.impl == "gather":
+
+            def one(f, c, v):
+                st = sc.SparseTensor(f, c, v, self.shape)
+                out = sc.sparse_conv_downsample(
+                    st, w, None, kernel, stride, padding, capacity
+                )
+                return out.features, out.coords, out.valid
+
+        else:
+
+            def one(f, c, v):
+                st = sc.SparseTensor(f, c, v, self.shape)
+                out = sc.strided_conv_dense(st, w, kernel, stride, padding, capacity)
+                return out.features, out.coords, out.valid
+
+        return jax.vmap(one)(x, self.coords, self.valid)
+
+
 class _SubMConvBNReLU(nn.Module):
     cin: int
     cout: int
-    taps: int = 27
 
     @nn.compact
-    def __call__(self, feats, nbr, valid, train: bool):
+    def __call__(self, x, stage: _Stage, train: bool):
         w = self.param(
             "w",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (self.taps, self.cin, self.cout),
+            (27, self.cin, self.cout),
         )
-        out = jax.vmap(lambda f, n, v: sc.gathered_matmul(f, n, w, v))(
-            feats, nbr, valid
-        )
+        out = stage.subm(x, w)
         out = MaskedBatchNorm(momentum=BN_MOM, epsilon=BN_EPS, name="bn")(
-            out, valid, train
+            out, stage.valid, train
         )
         return nn.relu(out)
 
@@ -68,31 +133,25 @@ class _SparseBasicBlock(nn.Module):
     ch: int
 
     @nn.compact
-    def __call__(self, feats, nbr, valid, train: bool):
-        w1 = self.param(
-            "w1",
-            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (27, self.ch, self.ch),
+    def __call__(self, x, stage: _Stage, train: bool):
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
+        w1 = self.param("w1", init, (27, self.ch, self.ch))
+        w2 = self.param("w2", init, (27, self.ch, self.ch))
+        y = stage.subm(x, w1)
+        y = MaskedBatchNorm(momentum=BN_MOM, epsilon=BN_EPS, name="bn1")(
+            y, stage.valid, train
         )
-        w2 = self.param(
-            "w2",
-            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (27, self.ch, self.ch),
-        )
-        y = jax.vmap(lambda f, n, v: sc.gathered_matmul(f, n, w1, v))(
-            feats, nbr, valid
-        )
-        y = MaskedBatchNorm(momentum=BN_MOM, epsilon=BN_EPS, name="bn1")(y, valid, train)
         y = nn.relu(y)
-        y = jax.vmap(lambda f, n, v: sc.gathered_matmul(f, n, w2, v))(
-            y, nbr, valid
+        y = stage.subm(y, w2)
+        y = MaskedBatchNorm(momentum=BN_MOM, epsilon=BN_EPS, name="bn2")(
+            y, stage.valid, train
         )
-        y = MaskedBatchNorm(momentum=BN_MOM, epsilon=BN_EPS, name="bn2")(y, valid, train)
-        return nn.relu(y + feats)
+        return nn.relu(y + x)
 
 
 class SparseEncoder(nn.Module):
     cfg: SparseEncoderConfig
+    impl: str = SPARSE_IMPL
 
     @nn.compact
     def __call__(self, voxel_feats, coords, valid, train: bool = False):
@@ -101,10 +160,11 @@ class SparseEncoder(nn.Module):
         cfg = self.cfg
         shape = tuple(cfg.sparse_shape)
         caps = cfg.stage_capacities
+        w_init = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
 
-        nbr = _vmap_subm_table(coords, valid, shape)
+        stage = _Stage(coords, valid, shape, self.impl)
         feats = _SubMConvBNReLU(cfg.in_channels, cfg.base_channels, name="conv_input")(
-            voxel_feats, nbr, valid, train
+            voxel_feats, stage, train
         )
 
         stage_specs = cfg.encoder_channels
@@ -115,25 +175,15 @@ class SparseEncoder(nn.Module):
             n_basic = len(blocks) - 1 if i < len(stage_specs) - 1 else len(blocks)
             for j in range(n_basic):
                 feats = _SparseBasicBlock(ch, name=f"stage{i}_block{j}")(
-                    feats, nbr, valid, train
+                    feats, stage, train
                 )
             if i < len(stage_specs) - 1:
                 cout = blocks[-1]
-                w = self.param(
-                    f"down{i}_w",
-                    nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-                    (27, ch, cout),
-                )
+                w = self.param(f"down{i}_w", w_init, (27, ch, cout))
                 pad = strided_pads[i]
-
-                def one_down(f, c, v, w=w, pad=pad, cur_shape=cur_shape, cap=caps[i + 1]):
-                    st = sc.SparseTensor(f, c, v, cur_shape)
-                    out = sc.sparse_conv_downsample(
-                        st, w, None, (3, 3, 3), (2, 2, 2), pad, cap
-                    )
-                    return out.features, out.coords, out.valid
-
-                feats, coords, valid = jax.vmap(one_down)(feats, coords, valid)
+                feats, coords, valid = stage.down(
+                    feats, w, (3, 3, 3), (2, 2, 2), pad, caps[i + 1]
+                )
                 cur_shape = tuple(
                     (cur_shape[d] + 2 * pad[d] - 3) // 2 + 1 for d in range(3)
                 )
@@ -141,23 +191,15 @@ class SparseEncoder(nn.Module):
                     momentum=BN_MOM, epsilon=BN_EPS, name=f"down{i}_bn"
                 )(feats, valid, train)
                 feats = nn.relu(feats)
-                nbr = _vmap_subm_table(coords, valid, cur_shape)
+                stage = _Stage(coords, valid, cur_shape, self.impl)
 
         # conv_out: k (3,1,1) s (2,1,1) pad 0
         w_out = self.param(
-            "conv_out_w",
-            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (3, stage_specs[-1][-1], cfg.output_channels),
+            "conv_out_w", w_init, (3, stage_specs[-1][-1], cfg.output_channels)
         )
-
-        def one_out(f, c, v, cur_shape=cur_shape):
-            st = sc.SparseTensor(f, c, v, cur_shape)
-            out = sc.sparse_conv_downsample(
-                st, w_out, None, (3, 1, 1), (2, 1, 1), (0, 0, 0), f.shape[0]
-            )
-            return out.features, out.coords, out.valid
-
-        feats, coords, valid = jax.vmap(one_out)(feats, coords, valid)
+        feats, coords, valid = stage.down(
+            feats, w_out, (3, 1, 1), (2, 1, 1), (0, 0, 0), feats.shape[1]
+        )
         out_shape = ((cur_shape[0] - 3) // 2 + 1, cur_shape[1], cur_shape[2])
         feats = MaskedBatchNorm(momentum=BN_MOM, epsilon=BN_EPS, name="conv_out_bn")(
             feats, valid, train

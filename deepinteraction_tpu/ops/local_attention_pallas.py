@@ -5,9 +5,14 @@ The TPU-native equivalent of the reference's in-repo CUDA extension
 and their four hand-written backward kernels, kernels.cuh:5-119). The XLA
 formulation (ops/local_attention.py) materializes the [B, H, W, k²] logit
 map and makes 2·k² passes over the feature maps in HBM; this kernel is one
-pass: each grid step DMAs a (TH+2r, W+2r) halo window of K and V into VMEM
-and runs an online-softmax (flash-attention style) over the k² taps, so
-logits never touch HBM.
+pass: logits live only in VMEM/registers via an online softmax
+(flash-attention style) over the k² taps.
+
+Halo handling uses only pipelined BlockSpecs — K and V are H-padded by one
+full row-tile on each side and passed three times with index maps i, i+1,
+i+2, so each grid step sees the row-tile plus both neighbours and slices
+the (TH+2r)-row window statically. No manual DMA/semaphores (the axon
+runtime crashed on the make_async_copy variant).
 
 Boundary semantics match the CUDA kernel bit-for-bit via zero padding
 (zero key -> logit 0 exactly like ``similar`` writes 0 for out-of-window
@@ -15,8 +20,7 @@ taps; zero value -> no contribution, like ``weighting`` skips them); the
 softmax runs over all k² taps including those zeros, as the reference does.
 
 Backward: custom VJP that re-differentiates the XLA oracle formulation —
-numerically identical, paid only at train time. (A fused backward kernel is
-a further optimization, not a correctness need.)
+numerically identical, paid only at train time.
 """
 
 from __future__ import annotations
@@ -33,27 +37,23 @@ from .local_attention import local_attention as _xla_local_attention
 TH = 8  # row-tile height (fp32 sublane)
 
 
-def _kernel(q_ref, k_hbm, v_hbm, out_ref, k_scr, v_scr, sem_k, sem_v, *, kk, w, c):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
+def _kernel(q_ref, k0, k1, k2, v0, v1, v2, out_ref, k_scr, v_scr, *, kk, w, c):
     r = kk // 2
-    ck = pltpu.make_async_copy(
-        k_hbm.at[b, pl.ds(i * TH, TH + 2 * r)], k_scr, sem_k
-    )
-    cv = pltpu.make_async_copy(
-        v_hbm.at[b, pl.ds(i * TH, TH + 2 * r)], v_scr, sem_v
-    )
-    ck.start()
-    cv.start()
-    ck.wait()
-    cv.wait()
+    # assemble the 3-row-tile halo window in VMEM scratch so taps can use
+    # dynamic (pl.ds) ref indexing — Mosaic has no value dynamic_slice
+    k_scr[0:TH] = k0[0]
+    k_scr[TH : 2 * TH] = k1[0]
+    k_scr[2 * TH : 3 * TH] = k2[0]
+    v_scr[0:TH] = v0[0]
+    v_scr[TH : 2 * TH] = v1[0]
+    v_scr[2 * TH : 3 * TH] = v2[0]
 
     q = q_ref[0]  # [TH, W, C]
     scale = jax.lax.rsqrt(jnp.float32(c))
 
     def tap(t, carry):
         m, den, acc = carry
-        dh = t // kk
+        dh = t // kk + (TH - r)
         dw = t % kk
         ks = k_scr[pl.ds(dh, TH), pl.ds(dw, w), :]
         vs = v_scr[pl.ds(dh, TH), pl.ds(dw, w), :]
@@ -76,33 +76,48 @@ def _kernel(q_ref, k_hbm, v_hbm, out_ref, k_scr, v_scr, sem_k, sem_v, *, kk, w, 
 def _pallas_forward(q, k, v, kernel: int, interpret: bool = False):
     b, h, w, c = q.shape
     r = kernel // 2
+    assert r <= TH, f"kernel {kernel} halo exceeds one row-tile"
     hp = pl.cdiv(h, TH) * TH
     qp = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    pad_kv = ((0, 0), (r, r + hp - h), (r, r), (0, 0))
+    # K/V: one full row-tile of zero padding above and below (+ the W halo)
+    pad_kv = ((0, 0), (TH, TH + hp - h), (r, r), (0, 0))
     kp = jnp.pad(k.astype(jnp.float32), pad_kv)
     vp = jnp.pad(v.astype(jnp.float32), pad_kv)
 
-    grid = (b, hp // TH)
+    kv_spec = lambda off: pl.BlockSpec(
+        (1, TH, w + 2 * r, c),
+        lambda bi, hi, off=off: (bi, hi + off, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
         functools.partial(_kernel, kk=kernel, w=w, c=c),
         out_shape=jax.ShapeDtypeStruct((b, hp, w, c), q.dtype),
-        grid=grid,
+        grid=(b, hp // TH),
         in_specs=[
-            pl.BlockSpec((1, TH, w, c), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, TH, w, c), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            kv_spec(0),
+            kv_spec(1),
+            kv_spec(2),
+            kv_spec(0),
+            kv_spec(1),
+            kv_spec(2),
         ],
         out_specs=pl.BlockSpec(
             (1, TH, w, c), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * r, w + 2 * r, c), jnp.float32),
-            pltpu.VMEM((TH + 2 * r, w + 2 * r, c), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((3 * TH, w + 2 * r, c), jnp.float32),
+            pltpu.VMEM((3 * TH, w + 2 * r, c), jnp.float32),
         ],
+        # 6 pipelined kv blocks + 2 halo scratches exceed the default 16M
+        # scoped budget at W=200; v5e has far more physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(qp, kp, kp, kp, vp, vp, vp)
     return out[:, :h]
 
 
@@ -125,3 +140,15 @@ def _bwd(kernel, res, g):
 
 
 local_attention_fused.defvjp(_fwd, _bwd)
+
+
+_USE_PALLAS = __import__("os").environ.get("DI_PALLAS_LOCATT", "1") == "1"
+
+
+def local_attention_auto(q, k, v, kernel: int):
+    """Fused Pallas kernel on TPU (measured 1.2-1.9x over the XLA
+    formulation at model sizes), XLA elsewhere (interpret mode would be
+    needlessly slow on CPU)."""
+    if _USE_PALLAS and any(d.platform == "tpu" for d in jax.devices()):
+        return local_attention_fused(q, k, v, kernel)
+    return _xla_local_attention(q, k, v, kernel)

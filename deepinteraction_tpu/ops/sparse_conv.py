@@ -59,7 +59,28 @@ def _kernel_offsets(kernel: Sequence[int]) -> list:
     ]
 
 
-def subm_neighbor_table(st: SparseTensor, kernel=(3, 3, 3)) -> jnp.ndarray:
+def dense_index_map(st: SparseTensor) -> jnp.ndarray:
+    """Flat [nz*ny*nx] int32 map: linear id -> row in the active set (K =
+    empty). One scatter builds it; neighbor lookups become direct gathers.
+
+    ~340 MB for the full 41x1440x1440 grid — a deliberate HBM-for-speed
+    trade: the searchsorted alternative costs 27 binary searches (~17
+    passes) per site per stage and measured ~10x slower end-to-end.
+    """
+    nz, ny, nx = st.shape
+    k = st.coords.shape[0]
+    ids = jnp.where(
+        st.valid,
+        (st.coords[:, 0] * ny + st.coords[:, 1]) * nx + st.coords[:, 2],
+        nz * ny * nx,
+    )
+    dense = jnp.full((nz * ny * nx,), k, jnp.int32)
+    return dense.at[ids].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+
+
+def subm_neighbor_table(
+    st: SparseTensor, kernel=(3, 3, 3), dense_map: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """[K, prod(kernel)] gather indices into the active set (K = miss).
 
     Tap d of output site i reads input site at coords[i] + d - kernel//2,
@@ -67,7 +88,8 @@ def subm_neighbor_table(st: SparseTensor, kernel=(3, 3, 3)) -> jnp.ndarray:
     """
     nz, ny, nx = st.shape
     k = st.coords.shape[0]
-    ids = linear_ids(st.coords, st.valid, st.shape)  # sorted ascending
+    if dense_map is None:
+        dense_map = dense_index_map(st)
     offs = _kernel_offsets(kernel)
     rz, ry, rx = kernel[0] // 2, kernel[1] // 2, kernel[2] // 2
     tables = []
@@ -79,10 +101,8 @@ def subm_neighbor_table(st: SparseTensor, kernel=(3, 3, 3)) -> jnp.ndarray:
             (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny) & (tx >= 0) & (tx < nx)
         ) & st.valid
         tid = (tz * ny + ty) * nx + tx
-        pos = jnp.searchsorted(ids, tid)
-        pos = jnp.minimum(pos, k - 1)
-        hit = (ids[pos] == tid) & inb
-        tables.append(jnp.where(hit, pos, k))
+        pos = dense_map[jnp.clip(tid, 0, nz * ny * nx - 1)]
+        tables.append(jnp.where(inb, pos, k))
     return jnp.stack(tables, axis=1).astype(jnp.int32)
 
 
@@ -199,11 +219,13 @@ def strided_neighbor_table(
     kernel: Tuple[int, int, int],
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
+    dense_map: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """[Ko, prod(kernel)] input indices for a strided sparse conv."""
     nz, ny, nx = in_st.shape
     k = in_st.coords.shape[0]
-    ids = linear_ids(in_st.coords, in_st.valid, in_st.shape)
+    if dense_map is None:
+        dense_map = dense_index_map(in_st)
     tables = []
     for dz, dy, dx in _kernel_offsets(kernel):
         tz = out_coords[:, 0] * stride[0] - padding[0] + dz
@@ -213,10 +235,8 @@ def strided_neighbor_table(
             (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny) & (tx >= 0) & (tx < nx)
         ) & out_valid
         tid = (tz * ny + ty) * nx + tx
-        pos = jnp.searchsorted(ids, tid)
-        pos = jnp.minimum(pos, k - 1)
-        hit = (ids[pos] == tid) & inb
-        tables.append(jnp.where(hit, pos, k))
+        pos = dense_map[jnp.clip(tid, 0, nz * ny * nx - 1)]
+        tables.append(jnp.where(inb, pos, k))
     return jnp.stack(tables, axis=1).astype(jnp.int32)
 
 
@@ -236,6 +256,79 @@ def sparse_conv_downsample(
     if bias is not None:
         out = jnp.where(ovalid[:, None], out + bias, 0.0)
     return SparseTensor(out, ocoords, ovalid, oshape)
+
+
+def scatter_dense(st: SparseTensor, dtype=None) -> jnp.ndarray:
+    """[nz, ny, nx, C] zero-filled dense tensor of the active features."""
+    nz, ny, nx = st.shape
+    c = st.features.shape[1]
+    feats = st.features if dtype is None else st.features.astype(dtype)
+    dense = jnp.zeros((nz, ny, nx, c), feats.dtype)
+    z = jnp.where(st.valid, st.coords[:, 0], nz)
+    y = jnp.where(st.valid, st.coords[:, 1], 0)
+    x = jnp.where(st.valid, st.coords[:, 2], 0)
+    return dense.at[z, y, x].set(
+        jnp.where(st.valid[:, None], feats, 0), mode="drop"
+    )
+
+
+def gather_sites(dense: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray):
+    """Read dense [nz, ny, nx, C] back at the active sites."""
+    nz = dense.shape[0]
+    z = jnp.where(valid, coords[:, 0], 0)
+    out = dense[z, coords[:, 1], coords[:, 2]]
+    return jnp.where(valid[:, None], out, 0)
+
+
+def _conv3d(dense: jnp.ndarray, weights: jnp.ndarray, kernel, stride, padding):
+    """lhs [nz, ny, nx, Cin]; weights [prod(kernel), Cin, Cout] in the
+    (dz, dy, dx) row-major tap order of ``_kernel_offsets``."""
+    kz, ky, kx = kernel
+    rhs = weights.reshape(kz, ky, kx, weights.shape[1], weights.shape[2])
+    out = jax.lax.conv_general_dilated(
+        dense[None],
+        rhs,
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]
+
+
+def subm_conv_dense(
+    st: SparseTensor, weights: jnp.ndarray, kernel=(3, 3, 3)
+) -> jnp.ndarray:
+    """Submanifold conv via dense conv3d: scatter the active features into a
+    zero-filled grid, convolve on the MXU, gather back at the active sites.
+
+    Exactly equivalent to the gather formulation (inactive sites are zero,
+    so they contribute nothing), but replaces the 27-way row gather — which
+    is element-rate-bound and ~100x below HBM bandwidth on TPU — with a
+    conv XLA maps natively onto the MXU, plus ONE scatter and ONE gather.
+    HBM cost: the dense grid (41x1440x1440x16 fp32 = 5.4 GB at stage 0),
+    a deliberate memory-for-speed trade at eval capacity.
+    """
+    r = [k // 2 for k in kernel]
+    dense = scatter_dense(st)
+    out = _conv3d(dense, weights, kernel, (1, 1, 1), r)
+    return gather_sites(out, st.coords, st.valid)
+
+
+def strided_conv_dense(
+    st: SparseTensor,
+    weights: jnp.ndarray,
+    kernel: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    out_capacity: int,
+) -> SparseTensor:
+    """Strided sparse conv via dense conv3d + site generation."""
+    ocoords, ovalid, oshape = downsample_sites(st, kernel, stride, padding, out_capacity)
+    dense = scatter_dense(st)
+    out = _conv3d(dense, weights, kernel, stride, padding)
+    feats = gather_sites(out, ocoords, ovalid)
+    return SparseTensor(feats, ocoords, ovalid, oshape)
 
 
 def to_dense_bev(st: SparseTensor) -> jnp.ndarray:

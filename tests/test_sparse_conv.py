@@ -149,3 +149,40 @@ def test_to_dense_bev_channel_fold():
     assert bev[1, 1, 1 * 2 + 0] == 2.0
     assert bev[0, 2, 0 * 2 + 1] == 3.0
     assert bev[0, 2, 1 * 2 + 1] == 4.0
+
+
+def test_dense_impl_matches_gather():
+    """subm_conv_dense / strided_conv_dense == the gather formulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepinteraction_tpu.ops import sparse_conv as sc
+
+    rng = np.random.default_rng(3)
+    shape = (5, 12, 12)
+    total = shape[0] * shape[1] * shape[2]
+    k = 50
+    ids = np.sort(rng.choice(total, 40, replace=False))
+    coords = np.zeros((k, 3), np.int32)
+    coords[:40, 0] = ids // (shape[1] * shape[2])
+    coords[:40, 1] = (ids // shape[2]) % shape[1]
+    coords[:40, 2] = ids % shape[2]
+    valid = np.arange(k) < 40
+    feats = jnp.asarray(rng.normal(size=(k, 4)).astype(np.float32))
+    feats = jnp.where(jnp.asarray(valid)[:, None], feats, 0.0)
+    st = sc.SparseTensor(feats, jnp.asarray(coords), jnp.asarray(valid), shape)
+    w = jnp.asarray(rng.normal(size=(27, 4, 6)).astype(np.float32))
+
+    nbr = sc.subm_neighbor_table(st)
+    ref = sc.gathered_matmul(feats, nbr, w, st.valid)
+    out = sc.subm_conv_dense(st, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    wd = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32))
+    ref_d = sc.sparse_conv_downsample(st, wd, None, (3, 3, 3), (2, 2, 2), (1, 1, 1), 30)
+    out_d = sc.strided_conv_dense(st, wd, (3, 3, 3), (2, 2, 2), (1, 1, 1), 30)
+    np.testing.assert_array_equal(np.asarray(ref_d.coords), np.asarray(out_d.coords))
+    np.testing.assert_allclose(
+        np.asarray(out_d.features), np.asarray(ref_d.features), atol=1e-4
+    )

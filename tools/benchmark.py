@@ -73,7 +73,9 @@ def main():
                 break
         dl.close()
 
-    variables = model.init(jax.random.PRNGKey(0), batches[0], False)
+    variables = jax.jit(lambda r, b: model.init(r, b, False))(
+        jax.random.PRNGKey(0), batches[0]
+    )
 
     t0 = time.time()
     jax.block_until_ready(forward(variables, batches[0]))

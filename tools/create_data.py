@@ -23,6 +23,11 @@ def main():
     p.add_argument(
         "--num-samples", type=int, default=4, help="synthetic only: samples to write"
     )
+    p.add_argument(
+        "--gt-database",
+        action="store_true",
+        help="also build the GT-paste database (reference create_gt_database)",
+    )
     args = p.parse_args()
     out = args.out or args.root
 
@@ -39,6 +44,15 @@ def main():
     )
     for path in paths:
         print("wrote", path)
+
+    if args.gt_database:
+        from deepinteraction_tpu.data.dataset import load_infos
+        from deepinteraction_tpu.data.gt_database import create_gt_database
+
+        db = create_gt_database(
+            load_infos(paths[0]), out, num_sweeps=args.max_sweeps
+        )
+        print("wrote", db)
 
 
 if __name__ == "__main__":

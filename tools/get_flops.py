@@ -13,6 +13,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -59,8 +61,6 @@ def main():
         if k in cost:
             print(f"{k}: {cost[k]:.3e}")
 
-
-import numpy as np  # noqa: E402
 
 if __name__ == "__main__":
     main()

@@ -64,7 +64,9 @@ def main():
         k: jnp.asarray(v)
         for k, v in make_synthetic_batch(cfg, b=batch_size).items()
     }
-    variables = model.init(jax.random.PRNGKey(0), init_batch, False)
+    variables = jax.jit(lambda r, b: model.init(r, b, False))(
+        jax.random.PRNGKey(0), init_batch
+    )
     if args.checkpoint:
         state = create_train_state(cfg, variables, total_steps=1)
         state = load_params(args.checkpoint, state)

@@ -32,6 +32,13 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument(
+        "--profile-steps",
+        type=int,
+        default=0,
+        help="capture a jax.profiler trace of N steps into <work_dir>/trace",
+    )
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument(
         "--cfg-options",
         nargs="*",
         default=[],
@@ -104,7 +111,7 @@ def main():
         k: jnp.asarray(v[:batch_size] if hasattr(v, "shape") else v)
         for k, v in make_synthetic_batch(cfg, b=batch_size, with_gt=True).items()
     }
-    variables = model.init(rng, init_batch, False)
+    variables = jax.jit(lambda r, b: model.init(r, b, False))(rng, init_batch)
     state = create_train_state(cfg, variables, total_steps)
 
     if args.resume_from:
@@ -121,10 +128,24 @@ def main():
     step_fn = jax.jit(make_train_step(cfg, model, total_steps), donate_argnums=0)
 
     log_path = os.path.join(work_dir, "train_log.jsonl")
+    tb_writer = None
+    if args.tensorboard:
+        try:
+            import tensorflow as tf
+
+            tb_writer = tf.summary.create_file_writer(os.path.join(work_dir, "tb"))
+        except ImportError:
+            print("tensorboard logging requested but tensorflow unavailable")
+
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.optim.total_epochs):
         t_data = time.time()
         for it, batch in enumerate(loader.epoch(epoch)):
+            if args.profile_steps and int(state.step) == 5:
+                jax.profiler.start_trace(os.path.join(work_dir, "trace"))
+            if args.profile_steps and int(state.step) == 5 + args.profile_steps:
+                jax.profiler.stop_trace()
+                print("wrote profiler trace to", os.path.join(work_dir, "trace"))
             batch = {
                 k: jax.device_put(jnp.asarray(v), shard)
                 for k, v in batch.items()
@@ -151,6 +172,13 @@ def main():
                 )
                 with open(log_path, "a") as f:
                     f.write(json.dumps(metrics) + "\n")
+                if tb_writer is not None:
+                    with tb_writer.as_default(step=metrics["step"]):
+                        import tensorflow as tf
+
+                        for k, v in metrics.items():
+                            if isinstance(v, float):
+                                tf.summary.scalar(k, v)
             t_data = time.time()
         if (epoch + 1) % cfg.optim.checkpoint_interval_epochs == 0:
             save_checkpoint(os.path.join(work_dir, "ckpts"), state, int(state.step))

@@ -87,12 +87,18 @@ class _Stage:
             return jax.vmap(lambda f, n, v: sc.gathered_matmul(f, n, w, v))(
                 x, self.nbr, self.valid
             )
+        if self.impl == "s2d":
+            return jax.vmap(
+                lambda f, c, v: sc.subm_conv_s2d(
+                    sc.SparseTensor(f, c, v, self.shape), w
+                )
+            )(x, self.coords, self.valid)
         return jax.vmap(
             lambda f, c, v: sc.subm_conv_dense(sc.SparseTensor(f, c, v, self.shape), w)
         )(x, self.coords, self.valid)
 
     def down(self, x, w, kernel, stride, padding, capacity):
-        if self.impl == "gather":
+        if self.impl in ("gather", "s2d"):
 
             def one(f, c, v):
                 st = sc.SparseTensor(f, c, v, self.shape)

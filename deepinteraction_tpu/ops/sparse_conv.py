@@ -331,6 +331,91 @@ def strided_conv_dense(
     return SparseTensor(feats, ocoords, ovalid, oshape)
 
 
+def s2d_weight_transform(weights: jnp.ndarray, kernel=(3, 3, 3)) -> jnp.ndarray:
+    """[27, Cin, Cout] -> [27, 8*Cin, 8*Cout] packed (2,2,2) conv weights.
+
+    Out[2A+a] = sum_d W[d] in[2A+a+d]; writing a+d = 2*delta + b with
+    b in {0,1}^3 gives the packed tap (delta) and input block (b):
+        Wp[delta][b*Cin:(b+1)Cin, a*Cout:(a+1)Cout] = W[d].
+    Block index order (bz*2+by)*2+bx matches scatter_dense_packed.
+    """
+    import numpy as np_
+
+    kz, ky, kx = kernel
+    assert (kz, ky, kx) == (3, 3, 3)
+    cin, cout = weights.shape[1], weights.shape[2]
+    wp = jnp.zeros((27, 8 * cin, 8 * cout), weights.dtype)
+    for ai, (az, ay, ax) in enumerate(
+        [(z, y, x) for z in range(2) for y in range(2) for x in range(2)]
+    ):
+        for di, (dz, dy, dx) in enumerate(_kernel_offsets(kernel)):
+            s = (az + dz - 1, ay + dy - 1, ax + dx - 1)
+            delta = tuple(v // 2 for v in s)
+            b = tuple(v % 2 for v in s)
+            ti = ((delta[0] + 1) * 3 + (delta[1] + 1)) * 3 + (delta[2] + 1)
+            bi = (b[0] * 2 + b[1]) * 2 + b[2]
+            wp = wp.at[
+                ti, bi * cin : (bi + 1) * cin, ai * cout : (ai + 1) * cout
+            ].set(weights[di])
+    del np_
+    return wp
+
+
+def scatter_dense_packed(st: SparseTensor, dtype=None) -> jnp.ndarray:
+    """(2,2,2) space-to-depth packed dense grid:
+    [ceil(nz/2), ceil(ny/2), ceil(nx/2), 8*C] with block (z%2, y%2, x%2)."""
+    nz, ny, nx = st.shape
+    pz, py, px = -(-nz // 2), -(-ny // 2), -(-nx // 2)
+    c = st.features.shape[1]
+    feats = st.features if dtype is None else st.features.astype(dtype)
+    z = jnp.where(st.valid, st.coords[:, 0], 2 * pz)
+    y = jnp.where(st.valid, st.coords[:, 1], 0)
+    x = jnp.where(st.valid, st.coords[:, 2], 0)
+    blk = ((z % 2) * 2 + (y % 2)) * 2 + (x % 2)
+    # expand each row to the full 8C lane width BEFORE scattering — a
+    # [cells, 8, C] layout would lane-pad C to 128 and blow up HBM 8x
+    onehot = jax.nn.one_hot(blk, 8, dtype=feats.dtype)  # [K, 8]
+    f_exp = (onehot[:, :, None] * feats[:, None, :]).reshape(-1, 8 * c)
+    f_exp = jnp.where(st.valid[:, None], f_exp, 0)
+    dense = jnp.zeros((pz, py, px, 8 * c), feats.dtype)
+    # blocks are disjoint per (cell, site), so add accumulates correctly
+    return dense.at[z // 2, y // 2, x // 2].add(f_exp, mode="drop")
+
+
+def gather_sites_packed(dense: jnp.ndarray, coords, valid, c: int):
+    """Read packed dense [pz, py, px, 8*C] at active sites' blocks."""
+    pz = dense.shape[0]
+    z = jnp.where(valid, coords[:, 0], 0)
+    y, x = coords[:, 1], coords[:, 2]
+    blk = ((z % 2) * 2 + (y % 2)) * 2 + (x % 2)
+    cell = dense[z // 2, y // 2, x // 2].reshape(-1, 8, c)
+    out = jnp.take_along_axis(cell, blk[:, None, None], axis=1)[:, 0]
+    return jnp.where(valid[:, None], out, 0)
+
+
+def subm_conv_s2d(
+    st: SparseTensor, weights: jnp.ndarray, compute_dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """Submanifold 3x3x3 conv via (2,2,2) space-to-depth dense conv.
+
+    Same exact math as the gather/dense formulations, but the packed layout
+    puts 8*C channels in the lane dimension (C=16 -> 128, zero lane-padding
+    waste), so stage-0-sized grids fit in HBM and the conv runs on the MXU:
+    [21, 720, 720, 128] bf16 = 2.8 GB vs 43 GB for the naive dense layout.
+    FLOP inflation is 8x (the packed 27-tap kernel is 12.5%-dense
+    block-sparse and XLA computes the zeros), a good trade against
+    element-rate-bound gathers. ``compute_dtype`` bf16 by default (the conv
+    accumulates fp32 via preferred_element_type).
+    """
+    c = st.features.shape[1]
+    dense = scatter_dense_packed(st, compute_dtype)
+    wp = s2d_weight_transform(weights).astype(compute_dtype)
+    out = _conv3d(dense, wp, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+    return gather_sites_packed(
+        out.astype(st.features.dtype), st.coords, st.valid, weights.shape[2]
+    )
+
+
 def to_dense_bev(st: SparseTensor) -> jnp.ndarray:
     """Scatter to dense [ny, nx, nz*C] with channel index c*nz + z.
 

@@ -186,3 +186,34 @@ def test_dense_impl_matches_gather():
     np.testing.assert_allclose(
         np.asarray(out_d.features), np.asarray(ref_d.features), atol=1e-4
     )
+
+
+def test_s2d_impl_matches_gather():
+    """(2,2,2) space-to-depth packed conv == the gather formulation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepinteraction_tpu.ops import sparse_conv as sc
+
+    rng = np.random.default_rng(7)
+    shape = (5, 11, 12)  # odd dims exercise the ceil-packing edge
+    total = shape[0] * shape[1] * shape[2]
+    k = 60
+    ids = np.sort(rng.choice(total, 45, replace=False))
+    coords = np.zeros((k, 3), np.int32)
+    coords[:45, 0] = ids // (shape[1] * shape[2])
+    coords[:45, 1] = (ids // shape[2]) % shape[1]
+    coords[:45, 2] = ids % shape[2]
+    valid = np.arange(k) < 45
+    feats = jnp.asarray(rng.normal(size=(k, 4)).astype(np.float32))
+    feats = jnp.where(jnp.asarray(valid)[:, None], feats, 0.0)
+    st = sc.SparseTensor(feats, jnp.asarray(coords), jnp.asarray(valid), shape)
+    w = jnp.asarray(rng.normal(size=(27, 4, 6)).astype(np.float32))
+
+    nbr = sc.subm_neighbor_table(st)
+    ref = sc.gathered_matmul(feats, nbr, w, st.valid)
+    out = sc.subm_conv_s2d(st, w, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # bf16 compute stays within half-precision tolerance
+    out16 = sc.subm_conv_s2d(st, w, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(ref), atol=0.15, rtol=0.05)

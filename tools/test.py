@@ -25,6 +25,12 @@ def parse_args():
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     p.add_argument("--out", default=None, help="write raw detections pkl here")
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument(
+        "--tta",
+        action="store_true",
+        help="double-flip test-time augmentation + weighted box fusion "
+        "(the -large/-e path; forces batch 1)",
+    )
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -53,7 +59,7 @@ def main():
 
     dataset = NuScenesDataset(cfg, args.infos, train=False)
     n_dev = len(jax.devices())
-    batch_size = cfg.data.samples_per_device * n_dev
+    batch_size = 1 if args.tta else cfg.data.samples_per_device * n_dev
     loader = DataLoader(dataset, batch_size, num_workers=args.num_workers)
 
     # test-time proposal bump (reference tools/test.py:155)
@@ -86,17 +92,41 @@ def main():
     for batch in loader.epoch(0, shuffle=False):
         pad = batch.pop("pad_count", 0)
         toks = batch.pop("token")
-        det = forward(variables, {k: jnp.asarray(v) for k, v in batch.items()})
-        det = jax.tree_util.tree_map(np.asarray, det)
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
         b = len(toks) - pad
-        for i in range(b):
+        if args.tta:
+            from deepinteraction_tpu.eval.nuscenes_metrics import DetectionFrame
+            from deepinteraction_tpu.eval.results import default_attribute
+            from deepinteraction_tpu.eval.tta import tta_inference
+
+            boxes, scores, labels = tta_inference(forward, variables, arrays)
+            names = np.asarray([cfg.data.class_names[int(i)] for i in labels])
+            vel = boxes[:, 7:9]
             pred_frames.append(
-                predictions_to_frame(
-                    det.boxes[i], det.scores[i], det.labels[i], det.keep[i],
-                    cfg.data.class_names,
+                DetectionFrame(
+                    boxes=boxes[:, :7],
+                    velocity=vel,
+                    names=names,
+                    scores=scores,
+                    attributes=np.asarray(
+                        [
+                            default_attribute(n, float(np.linalg.norm(v)))
+                            for n, v in zip(names, vel)
+                        ]
+                    ),
                 )
             )
-            tokens.append(toks[i])
+            tokens.append(toks[0])
+        else:
+            det = jax.tree_util.tree_map(np.asarray, forward(variables, arrays))
+            for i in range(b):
+                pred_frames.append(
+                    predictions_to_frame(
+                        det.boxes[i], det.scores[i], det.labels[i], det.keep[i],
+                        cfg.data.class_names,
+                    )
+                )
+                tokens.append(toks[i])
         n_frames += b
         if n_frames % 100 < batch_size:
             print(f"{n_frames}/{len(dataset)} frames, "

@@ -57,8 +57,12 @@ class SECONDFPN(nn.Module):
         for i, (c, s) in enumerate(zip(self.out_channels, self.upsample_strides)):
             x = inputs[i]
             if s > 1:
+                # transpose_kernel=True == torch ConvTranspose2d semantics
+                # (validated in tests/test_torch_parity.py); kernel layout
+                # [kh, kw, Out, In] matches the weight converter's output
                 x = nn.ConvTranspose(
                     c, (s, s), strides=(s, s), padding="VALID", use_bias=False,
+                    transpose_kernel=True,
                     name=f"deblock{i}_conv",
                 )(x)
             else:

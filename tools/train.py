@@ -39,6 +39,12 @@ def parse_args():
     )
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument(
+        "--eval-infos",
+        default=None,
+        help="val info pkl; evaluate every epoch (reference evaluation "
+        "interval=1, config Fusion_0075_refactor.py:12)",
+    )
+    p.add_argument(
         "--cfg-options",
         nargs="*",
         default=[],
@@ -81,7 +87,7 @@ def main():
     from deepinteraction_tpu.utils.testing import make_synthetic_batch
 
     # multi-host: one process per host, jax.distributed handles the rest
-    if "JAX_COORDINATOR" in os.environ:
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
 
     cfg = get_config(args.config)
@@ -183,7 +189,55 @@ def main():
         if (epoch + 1) % cfg.optim.checkpoint_interval_epochs == 0:
             save_checkpoint(os.path.join(work_dir, "ckpts"), state, int(state.step))
             print(f"saved checkpoint at epoch {epoch}")
+        if args.eval_infos:
+            metrics = _evaluate(cfg, model, state, args.eval_infos, args.num_workers)
+            metrics["epoch"] = epoch
+            print("eval:", json.dumps(metrics, sort_keys=True))
+            with open(os.path.join(work_dir, "eval_log.jsonl"), "a") as f:
+                f.write(json.dumps(metrics) + "\n")
     loader.close()
+
+
+def _evaluate(cfg, train_model, state, infos, num_workers):
+    """Per-epoch val evaluation with the train-time proposal count."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepinteraction_tpu.data import DataLoader, NuScenesDataset
+    from deepinteraction_tpu.eval.nuscenes_metrics import evaluate_detections
+    from deepinteraction_tpu.eval.results import gt_frame_from_info, predictions_to_frame
+    from deepinteraction_tpu.inference import get_bboxes
+
+    dataset = NuScenesDataset(cfg, infos, train=False)
+    loader = DataLoader(dataset, 1, num_workers=num_workers)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    dcfg = cfg.model.pts_bbox_head
+
+    @jax.jit
+    def forward(variables, batch):
+        preds = train_model.apply(variables, batch, False)
+        return get_bboxes(preds, dcfg, cfg.model.bbox_coder, dcfg.num_proposals)
+
+    frames, tokens = [], []
+    for batch in loader.epoch(0, shuffle=False):
+        pad = batch.pop("pad_count", 0)
+        toks = batch.pop("token")
+        det = jax.tree_util.tree_map(
+            np.asarray, forward(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+        )
+        for i in range(len(toks) - pad):
+            frames.append(
+                predictions_to_frame(
+                    det.boxes[i], det.scores[i], det.labels[i], det.keep[i],
+                    cfg.data.class_names,
+                )
+            )
+            tokens.append(toks[i])
+    loader.close()
+    by_tok = {i["token"]: i for i in dataset.infos}
+    gts = [gt_frame_from_info(by_tok[t]) for t in tokens]
+    return evaluate_detections(gts, frames, cfg.data.class_names)
 
 
 if __name__ == "__main__":

@@ -53,3 +53,16 @@ def test_auction_batched_matches_callback():
             cc = _cost_of(cost[b, l], c[b, l])
             assert (a[b, l] >= 0).sum() == (c[b, l] >= 0).sum()
             assert ca <= cc + 0.01 * int(ng[b, l])
+
+
+def test_auction_model_scale():
+    """200 proposals x 200 GT capacity, ~30 real GTs — the training shape."""
+    rng = np.random.default_rng(5)
+    p, g, ng = 200, 200, 30
+    cost = rng.uniform(0, 10, size=(p, g)).astype(np.float32)
+    a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(ng)))
+    rows, cols = linear_sum_assignment(cost[:, :ng])
+    ref = np.full(p, -1)
+    ref[rows] = cols
+    assert (a >= 0).sum() == ng
+    assert _cost_of(cost, a) <= _cost_of(cost, ref) + 0.02 * ng

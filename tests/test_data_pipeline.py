@@ -122,3 +122,37 @@ def test_loader_batches(infos_paths, data_cfg):
     batches = list(dl_eval.epoch(0, shuffle=False))
     assert len(batches) == 2
     assert batches[-1]["pad_count"] == 1
+
+
+def test_train_flip_fold_consistency(infos_paths, data_cfg):
+    """When the horizontal flip fires, the image is mirrored AND lidar2img
+    is updated so projections stay consistent (the reference leaves
+    lidar2img stale — documented deviation in data/pipeline.py)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(
+        data_cfg,
+        data=dc.replace(
+            data_cfg.data, flip_ratio_horizontal=1.0, flip_ratio_vertical=0.0,
+            rot_range=(0.0, 0.0), scale_ratio_range=(1.0, 1.0),
+            translation_std=(0.0, 0.0, 0.0),
+        ),
+    )
+    ds = NuScenesDataset(cfg, infos_paths[0], train=True, use_cbgs=False)
+    s = ds[0]
+    # flip matrix recorded: y negated
+    assert s["lidar_aug"][1, 1] == -1.0
+    # a raw-frame point projects through (lidar_aug_inv -> lidar2img) into
+    # the flipped image: x' should be W - x of the unflipped projection
+    ds_eval = NuScenesDataset(cfg, infos_paths[0], train=False)
+    se = ds_eval[0]
+    p_raw = np.array([10.0, 1.0, -0.3, 1.0])
+    uv0 = se["lidar2img"][0] @ p_raw
+    u0 = uv0[0] / uv0[2]
+    # augmented-frame point = aug @ raw; model projects raw = aug_inv @ p_aug
+    p_aug = s["lidar_aug"] @ p_raw
+    raw_back = s["lidar_aug_inv"] @ p_aug
+    uv1 = s["lidar2img"][0] @ raw_back
+    u1 = uv1[0] / uv1[2]
+    tw = cfg.data.img_scale[0]
+    np.testing.assert_allclose(u1, tw - u0, atol=1e-3)

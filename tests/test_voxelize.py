@@ -118,3 +118,19 @@ def test_voxelize_jit_static_shapes():
     out = f(jnp.asarray(pts), jnp.ones(300, bool))
     assert out.voxels.shape == (128, 4, 5)
     assert out.coords.shape == (128, 3)
+
+
+def test_grid_sample_patch_matches_oracle():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepinteraction_tpu.utils.geometry import grid_sample_2d, grid_sample_2d_patch
+
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.normal(size=(9, 13, 8)).astype(np.float32))
+    # include out-of-range and boundary-straddling coords
+    grid = jnp.asarray(rng.uniform(-1.4, 1.4, size=(500, 2)).astype(np.float32))
+    ref = grid_sample_2d(feat, grid)
+    out = grid_sample_2d_patch(feat, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

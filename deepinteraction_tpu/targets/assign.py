@@ -166,6 +166,46 @@ def build_targets(
     )
 
 
+def heuristic_assign(
+    boxes: jnp.ndarray,  # [P, >=2] predicted boxes (BEV centers used)
+    gt_boxes: jnp.ndarray,  # [G, >=2]
+    gt_mask: jnp.ndarray,  # [G]
+    pred_labels: jnp.ndarray | None = None,  # [P] int
+    gt_labels: jnp.ndarray | None = None,  # [G] int
+    dist_thre: float = 100.0,
+) -> jnp.ndarray:
+    """Nearest-center fallback assigner (reference ``HeuristicAssigner3D``,
+    core/bbox/assigners/hungarian_assigner.py:49-89): each GT claims its
+    nearest prediction (same-class when labels given, within ``dist_thre``
+    metres); a prediction contested by several GTs keeps the closest.
+
+    Returns [P] int32 matched GT index or -1 — fully on-device, jittable.
+    """
+    p = boxes.shape[0]
+    d = jnp.linalg.norm(
+        gt_boxes[:, None, :2] - boxes[None, :, :2], axis=-1
+    )  # [G, P]
+    if pred_labels is not None and gt_labels is not None:
+        d = d + (gt_labels[:, None] != pred_labels[None, :]) * dist_thre
+    d = jnp.where(gt_mask[:, None], d, jnp.inf)
+    nearest = jnp.argmin(d, axis=1)  # [G] pred per gt
+    nearest_d = jnp.min(d, axis=1)
+    ok = gt_mask & (nearest_d <= dist_thre)
+    # contested predictions keep the closest GT: scatter-min distances,
+    # then a GT wins iff it achieves that minimum
+    best = jnp.full((p,), jnp.inf).at[jnp.where(ok, nearest, p)].min(
+        jnp.where(ok, nearest_d, jnp.inf), mode="drop"
+    )
+    wins = ok & (nearest_d == best[jnp.clip(nearest, 0, p - 1)])
+    g = gt_boxes.shape[0]
+    # exact-distance ties resolve to the SMALLEST gt index (the reference's
+    # strict-< sequential update keeps the first)
+    assign = jnp.full((p,), g, jnp.int32).at[
+        jnp.where(wins, nearest, p)
+    ].min(jnp.where(wins, jnp.arange(g, dtype=jnp.int32), g), mode="drop")
+    return jnp.where(assign == g, -1, assign)
+
+
 def detection_loss(
     preds: Dict[str, jnp.ndarray],
     gt_boxes: jnp.ndarray,

@@ -49,6 +49,42 @@ RULES: List[Tuple[str, str]] = [
         r"img_backbone\.layer(\d)\.(\d+)\.downsample\.1\.(.+)",
         "params:img_backbone/layer\\g<1>_\\g<2>/downsample_bn/\\g<3>",
     ),
+    # ---------------- image backbone (mmdet SwinTransformer, ++) ----------
+    (r"img_backbone\.patch_embed\.projection\.(weight|bias)", "params:img_backbone/patch_embed/\\g<1>"),
+    (r"img_backbone\.patch_embed\.norm\.(.+)", "params:img_backbone/patch_norm/\\g<1>"),
+    (
+        r"img_backbone\.stages\.(\d)\.blocks\.(\d+)\.norm(\d)\.(.+)",
+        "params:img_backbone/stage\\g<1>_block\\g<2>/norm\\g<3>/\\g<4>",
+    ),
+    (
+        r"img_backbone\.stages\.(\d)\.blocks\.(\d+)\.attn\.w_msa\.(qkv|proj)\.(weight|bias)",
+        "params:img_backbone/stage\\g<1>_block\\g<2>/attn/\\g<3>/\\g<4>",
+    ),
+    (
+        r"img_backbone\.stages\.(\d)\.blocks\.(\d+)\.attn\.w_msa\.relative_position_bias_table",
+        "params:img_backbone/stage\\g<1>_block\\g<2>/attn/rel_pos_bias",
+    ),
+    (
+        r"img_backbone\.stages\.\d\.blocks\.\d+\.attn\.w_msa\.relative_position_index",
+        lambda m: None,  # recomputed buffer
+    ),
+    (
+        r"img_backbone\.stages\.(\d)\.blocks\.(\d+)\.ffn\.layers\.0\.0\.(weight|bias)",
+        "params:img_backbone/stage\\g<1>_block\\g<2>/fc1/\\g<3>",
+    ),
+    (
+        r"img_backbone\.stages\.(\d)\.blocks\.(\d+)\.ffn\.layers\.1\.(weight|bias)",
+        "params:img_backbone/stage\\g<1>_block\\g<2>/fc2/\\g<3>",
+    ),
+    (
+        r"img_backbone\.stages\.(\d)\.downsample\.norm\.(.+)",
+        "params:img_backbone/merge\\g<1>/norm/\\g<2>",
+    ),
+    (
+        r"img_backbone\.stages\.(\d)\.downsample\.reduction\.weight",
+        "params:img_backbone/merge\\g<1>/reduction/kernel",
+    ),
+    (r"img_backbone\.norm(\d)\.(.+)", "params:img_backbone/out_norm\\g<1>/\\g<2>"),
     # ---------------- image neck (mmdet FPN) ----------------
     (
         r"img_neck\.lateral_convs\.(\d)\.conv\.(weight|bias)",

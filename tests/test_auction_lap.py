@@ -66,3 +66,34 @@ def test_auction_model_scale():
     ref[rows] = cols
     assert (a >= 0).sum() == ng
     assert _cost_of(cost, a) <= _cost_of(cost, ref) + 0.02 * ng
+
+
+def test_heuristic_assigner():
+    from deepinteraction_tpu.targets.assign import heuristic_assign
+
+    boxes = np.array([[0.0, 0.0], [10.0, 0.0], [20.0, 0.0], [500.0, 0.0]], np.float32)
+    gts = np.array([[0.5, 0.0], [9.0, 0.0], [9.5, 0.0], [400.5, 0.0]], np.float32)
+    mask = np.array([True, True, True, True])
+    a = np.asarray(heuristic_assign(jnp.asarray(boxes), jnp.asarray(gts), jnp.asarray(mask)))
+    # gt0 -> pred0; gt1 and gt2 both nearest pred1, gt2 closer (0.5 < 1.0)
+    assert a[0] == 0 and a[1] == 2
+    # gt3 is 99.5m from pred3: within the 100m default threshold
+    assert a[3] == 3
+    assert a[2] == -1
+
+    # class gating: different class pushes beyond the threshold
+    pl = np.array([0, 1, 0, 0], np.int32)
+    gl = np.array([1, 1, 1, 1], np.int32)
+    a2 = np.asarray(
+        heuristic_assign(
+            jnp.asarray(boxes), jnp.asarray(gts), jnp.asarray(mask),
+            jnp.asarray(pl), jnp.asarray(gl),
+        )
+    )
+    assert a2[1] >= 0 and a2[0] == -1  # only the class-1 pred matches
+
+    # masked GTs never assign
+    a3 = np.asarray(
+        heuristic_assign(jnp.asarray(boxes), jnp.asarray(gts), jnp.asarray([False] * 4))
+    )
+    assert (a3 == -1).all()

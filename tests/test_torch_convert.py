@@ -111,3 +111,30 @@ def test_load_into_real_tree():
     assert (new_tree["params"]["img_backbone"]["layer1_0"]["bn1"]["scale"] == 3.0).all()
     # everything else reported missing (we only supplied 2 tensors)
     assert len(missing) > 100
+
+
+def test_swin_mapping():
+    sd = {
+        "img_backbone.patch_embed.projection.weight": np.zeros((96, 3, 4, 4), np.float32),
+        "img_backbone.patch_embed.norm.weight": np.ones((96,), np.float32),
+        "img_backbone.stages.0.blocks.1.attn.w_msa.qkv.weight": np.zeros((288, 96), np.float32),
+        "img_backbone.stages.0.blocks.1.attn.w_msa.relative_position_bias_table": np.zeros((169, 3), np.float32),
+        "img_backbone.stages.0.blocks.1.attn.w_msa.relative_position_index": np.zeros((49, 49), np.int64),
+        "img_backbone.stages.0.blocks.1.ffn.layers.0.0.weight": np.zeros((384, 96), np.float32),
+        "img_backbone.stages.0.blocks.1.ffn.layers.1.weight": np.zeros((96, 384), np.float32),
+        "img_backbone.stages.0.downsample.reduction.weight": np.zeros((192, 384), np.float32),
+        "img_backbone.stages.0.downsample.norm.weight": np.ones((384,), np.float32),
+        "img_backbone.norm2.weight": np.ones((384,), np.float32),
+    }
+    flat, unmatched = convert_state_dict(sd)
+    assert not unmatched
+    assert flat["params:img_backbone/patch_embed/kernel"].shape == (4, 4, 3, 96)
+    assert "params:img_backbone/patch_norm/scale" in flat
+    assert flat["params:img_backbone/stage0_block1/attn/qkv/kernel"].shape == (96, 288)
+    assert flat["params:img_backbone/stage0_block1/attn/rel_pos_bias"].shape == (169, 3)
+    assert not any("relative_position_index" in k for k in flat)
+    assert flat["params:img_backbone/stage0_block1/fc1/kernel"].shape == (96, 384)
+    assert flat["params:img_backbone/stage0_block1/fc2/kernel"].shape == (384, 96)
+    assert flat["params:img_backbone/merge0/reduction/kernel"].shape == (384, 192)
+    assert "params:img_backbone/merge0/norm/scale" in flat
+    assert "params:img_backbone/out_norm2/scale" in flat

@@ -396,7 +396,10 @@ class Decoder(nn.Module):
             if pp:
                 pred_delta = res_layer["center"]
                 res_layer["center"] = pred_delta + query_pos_look_forward
-                query_pos_look_forward = jax.lax.stop_gradient(pred_delta) + query_pos
+                # NB: pred_delta keeps its gradient here (reference clones,
+                # not detaches — plusplus L292); the next layer's center
+                # backpropagates into this layer's delta
+                query_pos_look_forward = pred_delta + query_pos
             else:
                 res_layer["center"] = res_layer["center"] + query_pos
             if pp:

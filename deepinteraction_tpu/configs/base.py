@@ -177,6 +177,9 @@ class DecoderConfig:
     """MMPI decoder head (reference: Fusion_0075_refactor.py:194-224)."""
 
     variant: str = "v1"  # "v1" | "pp"
+    # LiDAR-only head (TransFusion-L style, the reference's warm-start
+    # lineage): single heatmap head, no MMPI refinement (num_mmpi=0)
+    lidar_only: bool = False
     num_views: int = 6
     out_size_factor_img: int = 4
     num_proposals: int = 200
@@ -217,6 +220,8 @@ class DecoderConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
+    # cameras disabled: skip image backbone/neck and MMRI fusion entirely
+    lidar_only: bool = False
     freeze_img: bool = True
     freeze_pts: bool = True
     img_backbone: ImageBackboneConfig = field(default_factory=ImageBackboneConfig)

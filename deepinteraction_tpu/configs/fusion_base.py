@@ -195,6 +195,39 @@ def tiny_config() -> Config:
     return Config(model=model, data=data, optim=OptimConfig(total_epochs=1), test_num_proposals=8)
 
 
+def lidar_only_config() -> Config:
+    """Cameras-disabled LiDAR detector (TransFusion-L lineage): the model
+    family the reference warm-starts its fusion fine-tune from
+    (load_from='pretrained/r50_fpn_voxel_0075.pth', config L273) and
+    BASELINE config #2."""
+    cfg = fusion_base_config()
+    model = dataclasses.replace(
+        cfg.model,
+        lidar_only=True,
+        freeze_img=False,
+        freeze_pts=False,
+        pts_bbox_head=dataclasses.replace(
+            cfg.model.pts_bbox_head, lidar_only=True, num_mmpi=0
+        ),
+    )
+    return dataclasses.replace(
+        cfg, model=model, optim=dataclasses.replace(cfg.optim, total_epochs=20)
+    )
+
+
+def tiny_lidar_config() -> Config:
+    """Tiny LiDAR-only topology for tests."""
+    cfg = tiny_config()
+    model = dataclasses.replace(
+        cfg.model,
+        lidar_only=True,
+        pts_bbox_head=dataclasses.replace(
+            cfg.model.pts_bbox_head, lidar_only=True, num_mmpi=0
+        ),
+    )
+    return dataclasses.replace(cfg, model=model)
+
+
 def tiny_pp_config() -> Config:
     """Tiny DeepInteraction++ topology (FusionTransformer neck, polar I2P,
     V2 MMPI blocks) for tests and dry-runs."""

@@ -312,16 +312,20 @@ class Decoder(nn.Module):
         b, hb, wb, c = lidar_feat.shape
         n_cls = cfg.num_classes
 
-        # dense heatmaps
+        # dense heatmaps (lidar-only: single head, TransFusion-L style)
         def heat_head(name, x):
             y = ConvBNReLU(c, 3, name=f"{name}_0")(x, train)
             return nn.Conv(n_cls, (3, 3), padding=1, name=f"{name}_1")(y)
 
         dense_heatmap = heat_head("heatmap_head", lidar_feat)
-        dense_heatmap_img = heat_head("heatmap_head_img", new_lidar_feat)
-        heatmap = jax.lax.stop_gradient(
-            (jax.nn.sigmoid(dense_heatmap) + jax.nn.sigmoid(dense_heatmap_img)) / 2.0
-        )  # [B, H, W, cls]
+        if cfg.lidar_only:
+            dense_heatmap_img = dense_heatmap
+            heatmap = jax.lax.stop_gradient(jax.nn.sigmoid(dense_heatmap))
+        else:
+            dense_heatmap_img = heat_head("heatmap_head_img", new_lidar_feat)
+            heatmap = jax.lax.stop_gradient(
+                (jax.nn.sigmoid(dense_heatmap) + jax.nn.sigmoid(dense_heatmap_img)) / 2.0
+            )  # [B, H, W, cls]
 
         # local-max NMS (k=3 interior; identity for ped/cone classes 8, 9)
         hm = jnp.transpose(heatmap, (0, 3, 1, 2))  # [B, cls, H, W]
@@ -430,6 +434,9 @@ class Decoder(nn.Module):
             heatmap.reshape(b, hb * wb, n_cls), top_pos[..., None], axis=1
         )  # [B, P, cls]
 
+        if not ret_dicts:  # num_mmpi == 0 (lidar-only): the initial layer IS the output
+            ret_dicts = [first_res_layer]
+
         # auxiliary: concat every layer along the proposal dim
         out = {
             k: jnp.concatenate([rd[k] for rd in ret_dicts], axis=1)
@@ -438,5 +445,9 @@ class Decoder(nn.Module):
         out["dense_heatmap"] = dense_heatmap_img
         out["query_heatmap_score"] = query_heatmap_score
         out["query_labels"] = top_cls
-        out["on_image_masks"] = jnp.stack(on_image_masks, 0)  # [num_img_layers, B, P]
+        out["on_image_masks"] = (
+            jnp.stack(on_image_masks, 0)
+            if on_image_masks
+            else jnp.ones((0, b, p), bool)
+        )  # [num_img_layers, B, P]
         return out

@@ -41,6 +41,8 @@ class DeepInteraction(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = False):
         cfg = self.cfg
+        if cfg.lidar_only:
+            return self._lidar_only(batch, train)
         b, v = batch["images"].shape[0], batch["images"].shape[1]
 
         # ---- image branch (frozen in the shipped configs) ----
@@ -156,3 +158,55 @@ class DeepInteraction(nn.Module):
             num_proposals=self.num_proposals,
         )
         return preds
+
+    def _lidar_only(self, batch, train: bool):
+        """Cameras-disabled detector (TransFusion-L lineage — the model the
+        reference warm-starts from, config load_from L273): voxelize ->
+        sparse encoder -> SECOND(+FPN) -> shared conv -> query decoder with
+        num_mmpi = 0."""
+        cfg = self.cfg
+        vl = cfg.pts_voxel_layer
+        max_vox = vl.max_voxels[0] if train else vl.max_voxels[1]
+
+        def vox(p, m):
+            return voxelize(
+                p,
+                m,
+                voxel_size=vl.voxel_size,
+                point_cloud_range=vl.point_cloud_range,
+                max_num_points=vl.max_num_points,
+                max_voxels=max_vox,
+            )
+
+        vo = jax.vmap(vox)(batch["points"], batch["points_mask"])
+        vfeats = jax.vmap(hard_simple_vfe)(vo.voxels, vo.num_points)
+        vvalid = jnp.arange(max_vox)[None, :] < vo.num_voxels[:, None]
+        bev = SparseEncoder(cfg.pts_middle_encoder, name="pts_middle_encoder")(
+            vfeats, vo.coords, vvalid, train
+        )
+        sec = SECOND(
+            out_channels=cfg.pts_backbone.out_channels,
+            layer_nums=cfg.pts_backbone.layer_nums,
+            layer_strides=cfg.pts_backbone.layer_strides,
+            name="pts_backbone",
+        )(bev, train)
+        neck_outs = SECONDFPN(
+            out_channels=cfg.pts_neck.out_channels,
+            upsample_strides=cfg.pts_neck.upsample_strides,
+            name="pts_neck",
+        )(sec, train)
+        pts_conv = nn.Conv(
+            cfg.pts_bbox_head.hidden_channel, (3, 3), padding=1, name="shared_conv"
+        )(neck_outs[0])
+        return Decoder(
+            cfg.pts_bbox_head,
+            cfg.bbox_coder,
+            self.input_shape,
+            name="pts_bbox_head",
+        )(
+            (pts_conv, pts_conv),
+            None,
+            batch,
+            train,
+            num_proposals=self.num_proposals,
+        )

@@ -58,8 +58,8 @@ def build_targets(
     bev_shape: Tuple[int, int],
 ) -> Targets:
     coder = TransFusionBBoxCoder(ccfg)
-    p = dcfg.num_proposals
-    nl = dcfg.num_mmpi
+    p = preds["center"].shape[1] // max(dcfg.num_mmpi, 1)
+    nl = max(dcfg.num_mmpi, 1)  # num_mmpi=0 (lidar-only): one output layer
     b, g = gt_boxes.shape[0], gt_boxes.shape[1]
     ncls = dcfg.num_classes
 
@@ -218,14 +218,16 @@ def detection_loss(
 ) -> Dict[str, jnp.ndarray]:
     """Full head loss (reference deepinteraction_decoder.py:484-547)."""
     t = build_targets(preds, gt_boxes, gt_labels, gt_mask, dcfg, ccfg, acfg, bev_shape)
-    p = dcfg.num_proposals
-    nl = dcfg.num_mmpi
+    nl = max(dcfg.num_mmpi, 1)
+    p = preds["center"].shape[1] // nl
     b = gt_boxes.shape[0]
 
     label_w = t.label_weights.reshape(b, nl, p)
     bbox_w = t.bbox_weights.reshape(b, nl, p, -1)
     om = preds["on_image_masks"].astype(jnp.float32)
-    if om.shape[0] == nl:
+    if om.shape[0] == 0:
+        pass  # lidar-only: no image layers, no masking
+    elif om.shape[0] == nl:
         # ++: cumulative mask applied to EVERY layer
         # (deepinteractionplusplus_decoder.py:511-515)
         masks = jnp.transpose(om, (1, 0, 2))  # [B, nl, P]

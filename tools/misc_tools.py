@@ -123,11 +123,11 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pc = sub.add_parser("print_config")
-    pc.add_argument("config", choices=["fusion_base", "fusion_plusplus", "tiny"])
+    pc.add_argument("config", choices=["fusion_base", "fusion_plusplus", "lidar_only", "tiny", "tiny_lidar"])
     pc.set_defaults(fn=print_config)
 
     fb = sub.add_parser("fuse_conv_bn")
-    fb.add_argument("config", choices=["fusion_base", "fusion_plusplus", "tiny"])
+    fb.add_argument("config", choices=["fusion_base", "fusion_plusplus", "lidar_only", "tiny", "tiny_lidar"])
     fb.add_argument("--checkpoint", default=None)
     fb.add_argument("--out", required=True)
     fb.set_defaults(fn=fuse)
@@ -141,7 +141,7 @@ def main():
     vr.set_defaults(fn=visualize_results)
 
     bd = sub.add_parser("browse_dataset")
-    bd.add_argument("config", choices=["fusion_base", "fusion_plusplus", "tiny"])
+    bd.add_argument("config", choices=["fusion_base", "fusion_plusplus", "lidar_only", "tiny", "tiny_lidar"])
     bd.add_argument("--infos", required=True)
     bd.add_argument("--out", required=True)
     bd.add_argument("--limit", type=int, default=10)

@@ -26,7 +26,13 @@ def _init_worker(ds):
     _WORKER_DS = ds
 
 
-def _load_one(i: int):
+def _load_one(args):
+    # Fork workers snapshot the dataset at pool creation, so the parent's
+    # ``dataset.epoch = e`` never reaches them — ship the epoch with every
+    # index so per-epoch augmentation seeds and GT-paste fading stay live.
+    epoch, i = args
+    if hasattr(_WORKER_DS, "epoch"):
+        _WORKER_DS.epoch = epoch
     return _WORKER_DS[i]
 
 
@@ -92,7 +98,9 @@ class DataLoader:
         def submit_all():
             for b in batches:
                 ids, pad = (b, 0) if train else b
-                async_res = [self._pool.apply_async(_load_one, (int(i),)) for i in ids]
+                async_res = [
+                    self._pool.apply_async(_load_one, ((epoch, int(i)),)) for i in ids
+                ]
                 q.put((async_res, pad))
             q.put(None)
 

@@ -3,7 +3,7 @@ from .step import (
     TrainState,
     bev_shape,
     create_train_state,
-    frozen_keys,
+    frozen_paths,
     make_optimizer,
     make_train_step,
 )
@@ -13,7 +13,7 @@ __all__ = [
     "TrainState",
     "bev_shape",
     "create_train_state",
-    "frozen_keys",
+    "frozen_paths",
     "make_optimizer",
     "make_train_step",
 ]

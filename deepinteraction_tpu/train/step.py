@@ -25,7 +25,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
+from flax import struct, traverse_util
 
 from ..configs import Config
 from ..targets.assign import detection_loss
@@ -39,17 +39,37 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-FROZEN_IMG = ("img_backbone", "img_neck")
-FROZEN_PTS = ("pts_middle_encoder", "pts_backbone", "pts_neck")
+FROZEN_IMG = (("img_backbone",), ("img_neck",))
+# The reference's freeze_pts set (deepinteraction.py:71-97) is not just the
+# LiDAR trunk: it also pins the warm-started head components — the first
+# decoder layer, the LiDAR heatmap head (NOT heatmap_head_img), the first
+# prediction FFN, the class encoding, and the shared LiDAR conv in the
+# fusion neck — plus their BN running stats (track_running_stats=False).
+FROZEN_PTS = (
+    ("pts_middle_encoder",),
+    ("pts_backbone",),
+    ("pts_neck",),
+    ("pts_bbox_head", "decoder0"),
+    ("pts_bbox_head", "class_encoding"),
+    ("pts_bbox_head", "pred0"),
+    ("pts_bbox_head", "heatmap_head_0"),
+    ("pts_bbox_head", "heatmap_head_1"),
+    ("imgpts_neck", "shared_conv_pts"),
+)
 
 
-def frozen_keys(cfg: Config) -> Tuple[str, ...]:
-    keys: Tuple[str, ...] = ()
+def frozen_paths(cfg: Config) -> Tuple[Tuple[str, ...], ...]:
+    """Param-tree path prefixes frozen by the config's freeze flags."""
+    paths: Tuple[Tuple[str, ...], ...] = ()
     if cfg.model.freeze_img:
-        keys += FROZEN_IMG
+        paths += FROZEN_IMG
     if cfg.model.freeze_pts:
-        keys += FROZEN_PTS
-    return keys
+        paths += FROZEN_PTS
+    return paths
+
+
+def _path_frozen(path: Tuple[str, ...], frozen: Tuple[Tuple[str, ...], ...]) -> bool:
+    return any(path[: len(f)] == f for f in frozen)
 
 
 def make_optimizer(cfg: Config, total_steps: int):
@@ -70,17 +90,16 @@ def make_optimizer(cfg: Config, total_steps: int):
             optax.adamw(learning_rate, b1=b1, weight_decay=o.weight_decay),
         )
     )(learning_rate=lr, b1=b1)
-    frozen = frozen_keys(cfg)
+    frozen = frozen_paths(cfg)
     if not frozen:
         return inner
 
     def labels(params):
-        return {
-            k: jax.tree_util.tree_map(
-                lambda _, lab=("frozen" if k in frozen else "train"): lab, v
-            )
-            for k, v in params.items()
+        flat = traverse_util.flatten_dict(params)
+        lab = {
+            k: ("frozen" if _path_frozen(k, frozen) else "train") for k in flat
         }
+        return traverse_util.unflatten_dict(lab)
 
     return optax.multi_transform(
         {"train": inner, "frozen": optax.set_to_zero()}, labels
@@ -113,7 +132,7 @@ def make_train_step(cfg: Config, model, total_steps: int):
     ``gt_boxes`` [B, G, 9], ``gt_labels`` [B, G] int32, ``gt_mask`` [B, G].
     """
     tx = make_optimizer(cfg, total_steps)
-    frozen = frozen_keys(cfg)
+    frozen = frozen_paths(cfg)
     bshape = bev_shape(cfg)
     dcfg = cfg.model.pts_bbox_head
     ccfg = cfg.model.bbox_coder
@@ -148,10 +167,14 @@ def make_train_step(cfg: Config, model, total_steps: int):
         # frozen branches keep their running BN statistics (reference
         # track_running_stats=False semantics, deepinteraction.py:85-97)
         if new_bs:
-            new_bs = {
-                k: (state.batch_stats[k] if k in frozen and k in state.batch_stats else v)
-                for k, v in new_bs.items()
-            }
+            flat_new = traverse_util.flatten_dict(new_bs)
+            flat_old = traverse_util.flatten_dict(state.batch_stats)
+            new_bs = traverse_util.unflatten_dict(
+                {
+                    k: (flat_old[k] if _path_frozen(k, frozen) and k in flat_old else v)
+                    for k, v in flat_new.items()
+                }
+            )
         else:
             new_bs = state.batch_stats
         new_state = TrainState(

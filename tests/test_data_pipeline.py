@@ -124,6 +124,35 @@ def test_loader_batches(infos_paths, data_cfg):
     assert batches[-1]["pad_count"] == 1
 
 
+class _EpochProbeDataset:
+    """Returns the epoch the *worker process* sees — regression probe for
+    fork-pool staleness (workers snapshot the dataset; ADVICE r1 high)."""
+
+    train = True
+    epoch = 0
+
+    def __len__(self):
+        return 4
+
+    def epoch_indices(self, epoch, shuffle):
+        return np.arange(len(self))
+
+    def __getitem__(self, i):
+        return {"epoch": np.full((1,), self.epoch, np.int64)}
+
+
+def test_loader_workers_see_current_epoch():
+    dl = DataLoader(_EpochProbeDataset(), batch_size=2, num_workers=2)
+    try:
+        for expect in (0, 3):
+            for b in dl.epoch(expect):
+                assert (b["epoch"] == expect).all(), (
+                    f"worker saw stale epoch {b['epoch'].ravel()}, want {expect}"
+                )
+    finally:
+        dl.close()
+
+
 def test_train_flip_fold_consistency(infos_paths, data_cfg):
     """When the horizontal flip fires, the image is mirrored AND lidar2img
     is updated so projections stay consistent (the reference leaves

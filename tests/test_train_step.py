@@ -15,9 +15,10 @@ import pytest
 from deepinteraction_tpu.configs import tiny_config
 from deepinteraction_tpu.models.detector import DeepInteraction
 from deepinteraction_tpu.train.step import (
+    _path_frozen,
     bev_shape,
     create_train_state,
-    frozen_keys,
+    frozen_paths,
     make_train_step,
 )
 from deepinteraction_tpu.utils.testing import make_synthetic_batch
@@ -51,37 +52,62 @@ def test_loss_finite(setup):
 
 
 def test_frozen_params_unchanged(setup):
+    from flax import traverse_util
+
     cfg, state, new_state, _ = setup
-    frozen = frozen_keys(cfg)
+    frozen = frozen_paths(cfg)
     assert frozen  # config freezes both branches
-    for k in frozen:
-        before = jax.tree_util.tree_leaves(state.params[k])
-        after = jax.tree_util.tree_leaves(new_state.params[k])
-        for b, a in zip(before, after):
-            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    before = traverse_util.flatten_dict(state.params)
+    after = traverse_util.flatten_dict(new_state.params)
+    n_frozen = 0
+    for path, b in before.items():
+        if _path_frozen(path, frozen):
+            n_frozen += 1
+            np.testing.assert_array_equal(
+                np.asarray(b), np.asarray(after[path]), err_msg="/".join(path)
+            )
+    assert n_frozen > 0
+    # the reference's freeze set pins warm-started head components too
+    # (deepinteraction.py:71-97): decoder0 / pred0 / class_encoding /
+    # heatmap_head (but NOT heatmap_head_img) / shared_conv_pts
+    for sub in ("decoder0", "pred0", "class_encoding", "heatmap_head_0"):
+        assert _path_frozen(("pts_bbox_head", sub, "x"), frozen), sub
+    assert _path_frozen(("imgpts_neck", "shared_conv_pts", "x"), frozen)
+    assert not _path_frozen(("pts_bbox_head", "heatmap_head_img_0", "x"), frozen)
+    assert not _path_frozen(("pts_bbox_head", "mmpi0_img", "x"), frozen)
 
 
 def test_trainable_params_move(setup):
-    _, state, new_state, _ = setup
-    moved = 0
-    for k in ("imgpts_neck", "pts_bbox_head"):
-        before = jax.tree_util.tree_leaves(state.params[k])
-        after = jax.tree_util.tree_leaves(new_state.params[k])
-        for b, a in zip(before, after):
-            if not np.allclose(np.asarray(b), np.asarray(a)):
-                moved += 1
+    from flax import traverse_util
+
+    cfg, state, new_state, _ = setup
+    frozen = frozen_paths(cfg)
+    before = traverse_util.flatten_dict(state.params)
+    after = traverse_util.flatten_dict(new_state.params)
+    moved = sum(
+        1
+        for path, b in before.items()
+        if not _path_frozen(path, frozen)
+        and not np.allclose(np.asarray(b), np.asarray(after[path]))
+    )
     assert moved > 0
 
 
 def test_frozen_batch_stats_unchanged(setup):
+    from flax import traverse_util
+
     cfg, state, new_state, _ = setup
-    for k in frozen_keys(cfg):
-        if k not in state.batch_stats:
-            continue
-        before = jax.tree_util.tree_leaves(state.batch_stats[k])
-        after = jax.tree_util.tree_leaves(new_state.batch_stats[k])
-        for b, a in zip(before, after):
-            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    frozen = frozen_paths(cfg)
+    before = traverse_util.flatten_dict(state.batch_stats)
+    after = traverse_util.flatten_dict(new_state.batch_stats)
+    checked = 0
+    for path, b in before.items():
+        if _path_frozen(path, frozen):
+            checked += 1
+            np.testing.assert_array_equal(
+                np.asarray(b), np.asarray(after[path]), err_msg="/".join(path)
+            )
+    assert checked > 0
 
 
 def test_dryrun_multichip():

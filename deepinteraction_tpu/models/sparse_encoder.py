@@ -41,15 +41,24 @@ from flax import linen as nn
 
 from ..configs import SparseEncoderConfig
 from ..ops import sparse_conv as sc
+from ..ops import sparse_conv_banded as scb
 from .layers import MaskedBatchNorm
 
 BN_MOM = 0.01  # torch momentum (mmdet3d SparseEncoder default)
 BN_EPS = 1e-3
 
-# 'gather' measured fastest end-to-end on v5e (1.088 vs 1.056 fps): the
-# dense path only fits the small late stages, where scatter/conv/gather
-# overhead eats its MXU win. Kept selectable for future space-to-depth work.
-SPARSE_IMPL = os.environ.get("DI_SPARSE_IMPL", "gather")
+# 'banded' = Pallas banded one-hot gather-matmul kernel (sparse_conv_banded),
+# measured 1.3-2.7x the XLA 'gather' path per conv on v5e at all stage
+# shapes. Interpreted (slow) off-TPU, so tests/CPU default to 'gather'.
+SPARSE_IMPL = os.environ.get("DI_SPARSE_IMPL", "banded")
+BANDED_T = int(os.environ.get("DI_BANDED_T", "128"))
+BANDED_W = int(os.environ.get("DI_BANDED_W", "512"))
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl == "banded" and jax.default_backend() != "tpu":
+        return "gather"
+    return impl
 
 
 def _vmap_subm_table(coords, valid, shape, kernel=(3, 3, 3)):
@@ -73,16 +82,38 @@ class _Stage:
     DENSE_BYTE_LIMIT = 900e6
 
     def __init__(self, coords, valid, shape, impl: str):
+        impl = _resolve_impl(impl)
         if impl == "dense":
             padded_bytes = shape[0] * shape[1] * shape[2] * 128 * 4
             if padded_bytes > self.DENSE_BYTE_LIMIT:
                 impl = "gather"
         self.coords, self.valid, self.shape, self.impl = coords, valid, shape, impl
         self.nbr = (
-            _vmap_subm_table(coords, valid, shape) if impl == "gather" else None
+            _vmap_subm_table(coords, valid, shape)
+            if impl in ("gather", "banded")
+            else None
         )
+        if impl == "banded":
+            self.plan = jax.vmap(
+                lambda n, v: scb.make_banded_plan(n, v, T=BANDED_T, W=BANDED_W)
+            )(self.nbr, valid)
 
     def subm(self, x, w):
+        if self.impl == "banded":
+            outs = [
+                scb.banded_subm_conv(
+                    BANDED_T,
+                    BANDED_W,
+                    False,
+                    x[b],
+                    w,
+                    self.valid[b],
+                    self.nbr[b],
+                    jax.tree_util.tree_map(lambda a: a[b], self.plan),
+                )
+                for b in range(x.shape[0])
+            ]
+            return jnp.stack(outs)
         if self.impl == "gather":
             return jax.vmap(lambda f, n, v: sc.gathered_matmul(f, n, w, v))(
                 x, self.nbr, self.valid
@@ -98,7 +129,7 @@ class _Stage:
         )(x, self.coords, self.valid)
 
     def down(self, x, w, kernel, stride, padding, capacity):
-        if self.impl in ("gather", "s2d"):
+        if self.impl in ("gather", "s2d", "banded"):
 
             def one(f, c, v):
                 st = sc.SparseTensor(f, c, v, self.shape)

@@ -57,6 +57,11 @@ class ImageBackboneConfig:
     num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     depths: Tuple[int, ...] = (2, 2, 6, 2)
     window_size: int = 7
+    # training regularization (reference swin.py:283-458; the ++ config
+    # sets drop_path_rate=0.2, Fusion_0075_plusplus.py:157-159)
+    drop_path_rate: float = 0.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
 
 
 @dataclass(frozen=True)

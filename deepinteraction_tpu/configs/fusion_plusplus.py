@@ -25,6 +25,10 @@ def fusion_plusplus_config() -> Config:
             window_size=7,
             out_indices=(0, 1, 2, 3),
             frozen_stages=-1,
+            # reference Fusion_0075_plusplus.py:157-159
+            drop_path_rate=0.2,
+            drop_rate=0.0,
+            attn_drop_rate=0.0,
         ),
         img_neck=dataclasses.replace(cfg.model.img_neck, in_channels=(96, 192, 384, 768)),
         imgpts_neck=dataclasses.replace(

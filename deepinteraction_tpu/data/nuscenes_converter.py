@@ -187,6 +187,11 @@ def sample_info(
         "lidar_path": os.path.join(tables.root, lidar_sd["filename"]),
         "sweeps": [],
         "cams": {},
+        # lidar->ego extrinsics: the devkit's class-range filter measures
+        # distance from the EGO origin, which sits ~1 m from the lidar
+        # mount; eval needs these to reproduce the official filter exactly
+        "lidar2ego_rotation": l_r_eg,
+        "lidar2ego_translation": l_t_e,
     }
 
     # non-keyframe sweeps, walking prev links (reference sweeps<=10)

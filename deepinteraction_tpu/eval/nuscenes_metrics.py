@@ -158,7 +158,11 @@ def _accumulate(
             else:
                 ga = g.attributes[best_gi]
                 pa = p.attributes[j] if p.attributes is not None else ""
-                match_data["attr_err"].append(0.0 if (ga == "" or pa == ga) else 1.0)
+                # devkit attr_acc: GT without an attribute contributes NaN
+                # and is excluded from the cummean (not counted as correct)
+                match_data["attr_err"].append(
+                    np.nan if ga == "" else (0.0 if pa == ga else 1.0)
+                )
             match_data["conf"].append(score)
         else:
             tp.append(0)
@@ -187,11 +191,22 @@ def _accumulate(
     # descending confidence (devkit: cummean then interp over conf)
     for k in TP_METRICS:
         arr = np.asarray(match_data[k], np.float64)
-        cm = np.cumsum(arr) / np.arange(1, len(arr) + 1)
+        cm = _cummean(arr)
         mconf = np.asarray(match_data["conf"])
         # interp needs ascending x
         out[k] = np.interp(conf_i[::-1], mconf[::-1], cm[::-1])[::-1]
     return out
+
+
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """devkit ``cummean``: NaN-aware running mean (NaN entries — e.g.
+    attribute-less GT matches — are excluded from both sum and count);
+    all-NaN input returns ones."""
+    nan = np.isnan(x)
+    if nan.all():
+        return np.ones(len(x))
+    cnt = np.cumsum(~nan).astype(np.float64)
+    return np.nancumsum(x) / np.maximum(cnt, 1.0)
 
 
 def _calc_ap(md: dict) -> float:

@@ -44,12 +44,30 @@ def default_attribute(name: str, speed: float) -> str:
     return DEFAULT_ATTRIBUTES.get(name, "")
 
 
+def ego_origin_in_lidar(info: dict) -> np.ndarray:
+    """Position of the ego origin in the lidar frame.
+
+    The devkit's class-range filter measures box distance from the EGO pose,
+    not the lidar mount (~1 m apart on nuScenes); with this set on both GT
+    and prediction frames the lidar-frame evaluation reproduces the official
+    filter exactly. Returns zeros for infos predating the
+    lidar2ego_{rotation,translation} fields."""
+    rot = info.get("lidar2ego_rotation")
+    t = info.get("lidar2ego_translation")
+    if rot is None or t is None:
+        return np.zeros(3)
+    rot = np.asarray(rot, np.float64)
+    t = np.asarray(t, np.float64)
+    return -rot.T @ t
+
+
 def predictions_to_frame(
     boxes: np.ndarray,  # [P, 9]
     scores: np.ndarray,  # [P]
     labels: np.ndarray,  # [P]
     keep: np.ndarray,  # [P] bool
     class_names: Sequence[str],
+    info: dict | None = None,
 ) -> DetectionFrame:
     k = np.asarray(keep, bool)
     b = np.asarray(boxes)[k]
@@ -60,8 +78,10 @@ def predictions_to_frame(
     attrs = np.asarray(
         [default_attribute(n, float(np.linalg.norm(v))) for n, v in zip(names, vel)]
     )
+    ego = ego_origin_in_lidar(info) if info is not None else np.zeros(3)
     return DetectionFrame(
-        boxes=b[:, :7], velocity=vel, names=names, scores=s, attributes=attrs
+        boxes=b[:, :7], velocity=vel, names=names, scores=s, attributes=attrs,
+        ego_translation=ego,
     )
 
 
@@ -74,5 +94,6 @@ def gt_frame_from_info(info: dict) -> DetectionFrame:
     attrs = info.get("gt_attributes")
     attrs = np.asarray(attrs)[valid] if attrs is not None else None
     return DetectionFrame(
-        boxes=boxes, velocity=np.nan_to_num(vel), names=names, attributes=attrs
+        boxes=boxes, velocity=np.nan_to_num(vel), names=names, attributes=attrs,
+        ego_translation=ego_origin_in_lidar(info),
     )

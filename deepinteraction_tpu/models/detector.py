@@ -60,6 +60,9 @@ class DeepInteraction(nn.Module):
                 num_heads=cfg.img_backbone.num_heads,
                 window_size=cfg.img_backbone.window_size,
                 out_indices=cfg.img_backbone.out_indices,
+                drop_path_rate=cfg.img_backbone.drop_path_rate,
+                drop_rate=cfg.img_backbone.drop_rate,
+                attn_drop_rate=cfg.img_backbone.attn_drop_rate,
                 name="img_backbone",
             )(imgs, train=train and cfg.img_backbone.frozen_stages < 0)
         fpn_feats = FPN(

@@ -202,8 +202,15 @@ class PolarI2P(nn.Module):
                 gyn = xy[..., 1] / ih * 2.0 - 1.0
                 ok = ok & (gxn > -1) & (gxn < 1) & (gyn > -1) & (gyn < 1)
                 radius = jnp.linalg.norm(raw[..., :2] - c2l_v[:2, 3], axis=-1)
-                rn = jnp.clip(2.0 * (radius - r0) / r - 1.0, -1.0, 1.0)
-                loc = jnp.stack([gxn, rn], -1).mean(axis=2)  # z-mean [hb, wb, 2]
+                # normalize by the metric span r1-r0 (== r * rstep), not the
+                # bin count r — they only coincide when rstep == 1
+                rn = jnp.clip(2.0 * (radius - r0) / (r1 - r0) - 1.0, -1.0, 1.0)
+                # z-mean over IN-VIEW bins only: out-of-view bins would bias
+                # the sampling location toward clipped coordinates
+                okf = ok.astype(jnp.float32)[..., None]
+                loc = jnp.sum(jnp.stack([gxn, rn], -1) * okf, axis=2) / jnp.maximum(
+                    jnp.sum(okf, axis=2), 1.0
+                )  # [hb, wb, 2]
                 vis = jnp.sum(ok, axis=2) > 0  # [hb, wb]
                 sampled = grid_sample_2d(bev_out, loc)  # [hb, wb, C]
                 return jnp.where(vis[..., None], sampled, 0.0), vis

@@ -158,3 +158,26 @@ class MLP1d(nn.Module):
             else nn.initializers.zeros
         )
         return nn.Dense(self.out, bias_init=bias_init, name="out")(x)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (per-sample residual drop; timm/mmcv semantics).
+
+    The reference's Swin blocks wrap both residual branches in DropPath with
+    a 0->drop_path_rate linear schedule across blocks (reference
+    swin.py:283-458; ++ config Fusion_0075_plusplus.py:159 sets 0.2).
+    Training: keep each sample's branch with prob 1-rate, scaled by
+    1/(1-rate); eval: identity.
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)

@@ -32,7 +32,7 @@ from flax import linen as nn
 from ..configs import MMRIEncoderConfig
 from ..ops.depth_fill import fill_in_multiscale
 from ..ops.local_attention_pallas import local_attention_auto as local_attention
-from ..utils.geometry import grid_sample_2d, transform_points
+from ..utils.geometry import grid_sample_2d, grid_sample_2d_views, transform_points
 from .layers import ConvBNReLU
 
 
@@ -75,6 +75,12 @@ class MMRI_I2P(nn.Module):
     # and the converts add work).
     chunk: int = int(os.environ.get("DI_I2P_CHUNK", "4096"))
     dtype: str = os.environ.get("DI_I2P_DTYPE", "float32")
+    # top-N-view compaction: a 0.6 m pillar's points project into at most
+    # two of the six cameras (3rd-view hits need >50 degrees of azimuth
+    # span, i.e. inside the ego exclusion zone), so sampling only the two
+    # best views computes 40 keys instead of 120 with identical attention
+    # over the same valid-key set. 0 disables (reference-shaped 120 keys).
+    n_views: int = int(os.environ.get("DI_I2P_VIEWS", "2"))
 
     @nn.compact
     def __call__(
@@ -136,14 +142,34 @@ class MMRI_I2P(nn.Module):
                     return jnp.stack([gx, gy], -1), ok
 
                 grids, oks = jax.vmap(project)(l2i)  # [V, Ck*P, 2]
-                sampled = jax.vmap(grid_sample_2d)(ifeat, grids)  # [V, Ck*P, C]
-                keys = sampled.reshape(v, chunk, p, c).transpose(1, 2, 0, 3)
-                kmask = oks.reshape(v, chunk, p).transpose(1, 2, 0)
-                pt_ok = jnp.arange(p)[None, :] < cnt_c[:, None]
-                kmask = (kmask & pt_ok[:, :, None]).reshape(chunk, p * v)
-                # bilinear interp upcasts to f32; back to the compute dtype
-                # so K/V projections hit the MXU's bf16 path
-                keys = keys.reshape(chunk, p * v, c).astype(cdt)
+                pt_ok = jnp.arange(p)[None, :] < cnt_c[:, None]  # [Ck, P]
+                if 0 < self.n_views < v:
+                    nv = self.n_views
+                    okr = (
+                        oks.reshape(v, chunk, p) & pt_ok[None]
+                    )  # [V, Ck, P]
+                    vcnt = jnp.sum(okr, axis=2).T  # [Ck, V]
+                    _, vsel = jax.lax.top_k(vcnt, nv)  # [Ck, nv]
+                    grids_p = grids.reshape(v, chunk, p, 2).transpose(
+                        1, 0, 2, 3
+                    )  # [Ck, V, P, 2]
+                    gsel = jnp.take_along_axis(
+                        grids_p, vsel[:, :, None, None], axis=1
+                    )  # [Ck, nv, P, 2]
+                    kmask = jnp.take_along_axis(
+                        okr.transpose(1, 0, 2), vsel[:, :, None], axis=1
+                    ).reshape(chunk, nv * p)
+                    vidx = jnp.broadcast_to(vsel[:, :, None], (chunk, nv, p))
+                    sampled = grid_sample_2d_views(ifeat, gsel, vidx)
+                    keys = sampled.reshape(chunk, nv * p, c).astype(cdt)
+                else:
+                    sampled = jax.vmap(grid_sample_2d)(ifeat, grids)
+                    keys = sampled.reshape(v, chunk, p, c).transpose(1, 2, 0, 3)
+                    kmask = oks.reshape(v, chunk, p).transpose(1, 2, 0)
+                    kmask = (kmask & pt_ok[:, :, None]).reshape(chunk, p * v)
+                    # bilinear interp upcasts to f32; back to the compute
+                    # dtype so K/V projections hit the MXU's bf16 path
+                    keys = keys.reshape(chunk, p * v, c).astype(cdt)
 
                 kh = keys @ wk.astype(cdt) + bk.astype(cdt)
                 vh = keys @ wv.astype(cdt) + bv.astype(cdt)

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .layers import DropPath
+
 
 def _rel_pos_index(ws: int) -> np.ndarray:
     coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
@@ -31,9 +33,11 @@ class WindowMSA(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    attn_drop_rate: float = 0.0
+    proj_drop_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, train: bool = False):
         """x [nW, N, C]; mask [nW0, N, N] additive or None."""
         ws, h = self.window_size, self.num_heads
         nw, n, c = x.shape
@@ -54,8 +58,10 @@ class WindowMSA(nn.Module):
             attn = attn.reshape(nw // g, g, h, n, n) + mask[None, :, None]
             attn = attn.reshape(nw, h, n, n)
         attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop_rate, deterministic=not train)(attn)
         out = jnp.einsum("whnm,wmhd->wnhd", attn, v).reshape(nw, n, c)
-        return nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, name="proj")(out)
+        return nn.Dropout(self.proj_drop_rate, deterministic=not train)(out)
 
 
 class SwinBlock(nn.Module):
@@ -63,9 +69,12 @@ class SwinBlock(nn.Module):
     num_heads: int
     window_size: int
     shift: bool
+    drop_path_rate: float = 0.0  # stochastic depth (ref swin.py:283-458)
+    drop_rate: float = 0.0  # proj/FFN dropout
+    attn_drop_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         """x [B, H, W, C] (H, W multiples of window_size via padding)."""
         b, h, w, c = x.shape
         ws = self.window_size
@@ -101,16 +110,25 @@ class SwinBlock(nn.Module):
             attn_mask = jnp.asarray(attn_mask.astype(np.float32))
         else:
             attn_mask = None
-        y = WindowMSA(c, self.num_heads, ws, name="attn")(to_windows(x), attn_mask)
+        y = WindowMSA(
+            c,
+            self.num_heads,
+            ws,
+            attn_drop_rate=self.attn_drop_rate,
+            proj_drop_rate=self.drop_rate,
+            name="attn",
+        )(to_windows(x), attn_mask, train)
         x = from_windows(y)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x[:, :h, :w]
-        x = shortcut + x
+        x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(x, train)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(4 * c, name="fc1")(y)
-        y = nn.Dense(c, name="fc2")(nn.gelu(y))
-        return x + y
+        y = nn.Dropout(self.drop_rate, deterministic=not train)(nn.gelu(y))
+        y = nn.Dense(c, name="fc2")(y)
+        y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
+        return x + DropPath(self.drop_path_rate, name="drop_path2")(y, train)
 
 
 class PatchMerging(nn.Module):
@@ -135,6 +153,11 @@ class SwinTransformer(nn.Module):
     num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     window_size: int = 7
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    # 0 -> drop_path_rate linear ramp across all blocks, matching the
+    # reference (swin.py:538-541; ++ config sets 0.2)
+    drop_path_rate: float = 0.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -142,9 +165,24 @@ class SwinTransformer(nn.Module):
         x = nn.LayerNorm(name="patch_norm")(x)
         outs = []
         dim = self.embed_dims
+        total = sum(self.depths)
+        dprs = [
+            self.drop_path_rate * k / max(total - 1, 1) for k in range(total)
+        ]
+        blk = 0
         for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for j in range(depth):
-                x = SwinBlock(dim, heads, self.window_size, shift=j % 2 == 1, name=f"stage{i}_block{j}")(x)
+                x = SwinBlock(
+                    dim,
+                    heads,
+                    self.window_size,
+                    shift=j % 2 == 1,
+                    drop_path_rate=dprs[blk],
+                    drop_rate=self.drop_rate,
+                    attn_drop_rate=self.attn_drop_rate,
+                    name=f"stage{i}_block{j}",
+                )(x, train)
+                blk += 1
             if i in self.out_indices:
                 outs.append(nn.LayerNorm(name=f"out_norm{i}")(x))
             if i < len(self.depths) - 1:

@@ -157,6 +157,59 @@ def grid_sample_2d_patch(
     return (v00 * wx0 + v01 * wx1) * wy0 + (v10 * wx0 + v11 * wx1) * wy1
 
 
+def grid_sample_2d_views(
+    feats: jnp.ndarray,
+    grid_xy: jnp.ndarray,
+    view_idx: jnp.ndarray,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Bilinear sample where each element picks its own view.
+
+    Same torch ``F.grid_sample`` zero-padding semantics as
+    :func:`grid_sample_2d`, but the feature stack [V, H, W, C] is addressed
+    per element through ``view_idx`` by folding the view into the row index
+    of a [V*H, W, C] table. Used by the I2P top-2-view compaction: sampling
+    only the (at most two) cameras a pillar actually projects into cuts the
+    gather volume 3x vs sampling all six views (PERF.md lever #4).
+
+    Args:
+        feats: [V, H, W, C].
+        grid_xy: [..., 2] normalized (x, y) in [-1, 1], per element.
+        view_idx: [...] int32 view selector, same shape as grid_xy[..., 0].
+    Returns:
+        [..., C] sampled features (zeros outside the selected map).
+    """
+    v, h, w = feats.shape[0], feats.shape[1], feats.shape[2]
+    flat = feats.reshape(v * h, w, feats.shape[3])
+    x, y = grid_xy[..., 0], grid_xy[..., 1]
+    if align_corners:
+        fx = (x + 1.0) * 0.5 * (w - 1)
+        fy = (y + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((x + 1.0) * w - 1.0) * 0.5
+        fy = ((y + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    base = view_idx.astype(jnp.int32) * h
+
+    def tap(ix, iy):
+        inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iyc = base + jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        val = flat[iyc, ixc]
+        return jnp.where(inside[..., None], val, 0.0)
+
+    v00 = tap(x0, y0)
+    v01 = tap(x0 + 1, y0)
+    v10 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    wx0, wx1 = (1.0 - tx)[..., None], tx[..., None]
+    wy0, wy1 = (1.0 - ty)[..., None], ty[..., None]
+    return (v00 * wx0 + v01 * wx1) * wy0 + (v10 * wx0 + v11 * wx1) * wy1
+
+
 def make_rotation_z(angle) -> jnp.ndarray:
     """[4,4] ccw rotation around +z."""
     c, s = jnp.cos(angle), jnp.sin(angle)

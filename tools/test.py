@@ -139,6 +139,11 @@ def main():
 
     info_by_token = {i["token"]: i for i in dataset.infos}
     gt_frames = [gt_frame_from_info(info_by_token[t]) for t in tokens]
+    # devkit range filter measures from the ego pose, not the lidar mount
+    from deepinteraction_tpu.eval.results import ego_origin_in_lidar
+
+    for pf, t in zip(pred_frames, tokens):
+        pf.ego_translation = ego_origin_in_lidar(info_by_token[t])
     metrics = evaluate_detections(gt_frames, pred_frames, cfg.data.class_names)
     print(json.dumps(metrics, indent=2, sort_keys=True))
     return metrics

@@ -166,6 +166,10 @@ def main():
             t0 = time.time()
             state, metrics = step_fn(state, batch, sub)
             if (it + 1) % cfg.optim.log_interval_steps == 0:
+                # float() forces a host transfer of the scalar, which is the
+                # only honest fence on axon (block_until_ready returns early;
+                # CLAUDE.md) — so `time` below is true step latency, not
+                # dispatch latency
                 metrics = {k: float(v) for k, v in metrics.items()}
                 metrics.update(
                     epoch=epoch,
@@ -241,6 +245,10 @@ def _evaluate(cfg, train_model, state, infos, num_workers):
     loader.close()
     by_tok = {i["token"]: i for i in dataset.infos}
     gts = [gt_frame_from_info(by_tok[t]) for t in tokens]
+    from deepinteraction_tpu.eval.results import ego_origin_in_lidar
+
+    for pf, t in zip(frames, tokens):
+        pf.ego_translation = ego_origin_in_lidar(by_tok[t])
     return evaluate_detections(gts, frames, cfg.data.class_names)
 
 

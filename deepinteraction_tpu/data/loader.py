@@ -50,12 +50,20 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # per-PROCESS batch (local devices only)
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.seed = seed
+        # multi-host: every process sees the same globally-shuffled index
+        # list (epoch_indices is seeded by epoch, not process) and takes a
+        # disjoint stride slice of it — the DDP per-rank sampler semantics
+        # (reference tools/dist_train.sh; parallel/input.py has the rules)
+        self.process_index = process_index
+        self.process_count = process_count
         self._pool = None
 
     def _ensure_pool(self):
@@ -72,6 +80,19 @@ class DataLoader:
         shuffle = train if shuffle is None else shuffle
         idx = self.dataset.epoch_indices(epoch, shuffle)
         bs = self.batch_size
+        if self.process_count > 1:
+            if train:
+                # lockstep trim so every process runs the same step count
+                # (divergent counts deadlock the gradient psum)
+                from ..parallel.input import process_shard_indices
+
+                idx = process_shard_indices(
+                    idx, bs, self.process_index, self.process_count
+                )
+            else:
+                # eval is embarrassingly parallel; each process pads its own
+                # final batch and the gather dedups nothing (disjoint shards)
+                idx = list(idx[self.process_index :: self.process_count])
         if train:
             n_batches = len(idx) // bs
             batches = [idx[i * bs : (i + 1) * bs] for i in range(n_batches)]

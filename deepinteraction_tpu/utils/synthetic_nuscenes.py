@@ -174,6 +174,9 @@ def write_synthetic_nuscenes(
                     "timestamp": ts,
                     "prev": "",
                     "next": "",
+                    # real nuScenes camera sample_datas carry these
+                    "width": w,
+                    "height": h,
                 }
             )
         for a in range(2):

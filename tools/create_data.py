@@ -28,6 +28,12 @@ def main():
         action="store_true",
         help="also build the GT-paste database (reference create_gt_database)",
     )
+    p.add_argument(
+        "--export-2d",
+        action="store_true",
+        help="also export COCO-style 2D (+mono3d) annotations per camera "
+        "(reference export_2d_annotation, create_data.py:71-79)",
+    )
     args = p.parse_args()
     out = args.out or args.root
 
@@ -44,6 +50,12 @@ def main():
     )
     for path in paths:
         print("wrote", path)
+
+    if args.export_2d:
+        from deepinteraction_tpu.data.anno_2d import export_2d_annotation
+
+        for path in paths:
+            print("wrote", export_2d_annotation(args.root, path, args.version))
 
     if args.gt_database:
         from deepinteraction_tpu.data.dataset import load_infos

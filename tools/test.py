@@ -53,14 +53,25 @@ def main():
 
     from tools.train import get_config
 
+    # multi-host: shard the val split across processes and gather to rank 0
+    # (reference tools/test.py:221-226 multi_gpu_test + collect_results)
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
     cfg = get_config(args.config)
     if args.cfg_options:
         cfg = apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.cfg_options))
 
     dataset = NuScenesDataset(cfg, args.infos, train=False)
-    n_dev = len(jax.devices())
-    batch_size = 1 if args.tta else cfg.data.samples_per_device * n_dev
-    loader = DataLoader(dataset, batch_size, num_workers=args.num_workers)
+    n_ldev = jax.local_device_count()
+    batch_size = 1 if args.tta else cfg.data.samples_per_device * n_ldev
+    loader = DataLoader(
+        dataset,
+        batch_size,
+        num_workers=args.num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
 
     # test-time proposal bump (reference tools/test.py:155)
     model = DeepInteraction(
@@ -80,6 +91,12 @@ def main():
         print(f"loaded params from {args.checkpoint}")
 
     dcfg = cfg.model.pts_bbox_head
+    from deepinteraction_tpu.parallel.input import gather_results, local_mesh
+    from deepinteraction_tpu.parallel.mesh import shard_batch
+
+    # batches spread over this process's local devices; eval stays
+    # embarrassingly parallel (no cross-process collectives in the forward)
+    mesh = local_mesh()
 
     @jax.jit
     def forward(variables, batch):
@@ -92,7 +109,12 @@ def main():
     for batch in loader.epoch(0, shuffle=False):
         pad = batch.pop("pad_count", 0)
         toks = batch.pop("token")
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+        # tta forces batch 1, which can't shard over >1 local devices
+        arrays = (
+            {k: jnp.asarray(v) for k, v in batch.items()}
+            if args.tta
+            else shard_batch(mesh, batch)
+        )
         b = len(toks) - pad
         if args.tta:
             from deepinteraction_tpu.eval.nuscenes_metrics import DetectionFrame
@@ -132,6 +154,14 @@ def main():
             print(f"{n_frames}/{len(dataset)} frames, "
                   f"{n_frames / (time.time() - t0):.2f} fps")
     loader.close()
+
+    gathered = gather_results(
+        list(zip(tokens, pred_frames)), os.path.join("/tmp", "di_test_gather")
+    )
+    if gathered is None:
+        return None  # non-zero process; rank 0 owns metrics and --out
+    tokens = [t for t, _ in gathered]
+    pred_frames = [f for _, f in gathered]
 
     if args.out:
         with open(args.out, "wb") as f:

@@ -81,6 +81,7 @@ def main():
     from deepinteraction_tpu.configs import apply_overrides
     from deepinteraction_tpu.data import DataLoader, NuScenesDataset
     from deepinteraction_tpu.models.detector import DeepInteraction
+    from deepinteraction_tpu.parallel.input import globalize_batch
     from deepinteraction_tpu.parallel.mesh import make_mesh
     from deepinteraction_tpu.train.checkpoint import (
         load_params,
@@ -110,16 +111,28 @@ def main():
 
     dataset = NuScenesDataset(cfg, args.infos, train=True, seed=args.seed)
     n_dev = len(jax.devices())
-    batch_size = cfg.data.samples_per_device * n_dev
-    loader = DataLoader(dataset, batch_size, num_workers=args.num_workers)
+    batch_size = cfg.data.samples_per_device * n_dev  # GLOBAL batch
+    # each process loads only its local devices' share; the global batch is
+    # assembled by globalize_batch (make_array_from_process_local_data) —
+    # a host-local device_put would feed every host identical data
+    local_bs = cfg.data.samples_per_device * jax.local_device_count()
+    loader = DataLoader(
+        dataset,
+        local_bs,
+        num_workers=args.num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     total_steps = steps_per_epoch * cfg.optim.total_epochs
 
     model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
     rng = jax.random.PRNGKey(args.seed)
+    # params don't depend on batch size; init with the LOCAL batch so a big
+    # slice doesn't replicate a global-size batch onto every device
     init_batch = {
-        k: jnp.asarray(v[:batch_size] if hasattr(v, "shape") else v)
-        for k, v in make_synthetic_batch(cfg, b=batch_size, with_gt=True).items()
+        k: jnp.asarray(v[:local_bs] if hasattr(v, "shape") else v)
+        for k, v in make_synthetic_batch(cfg, b=local_bs, with_gt=True).items()
     }
     variables = jax.jit(lambda r, b: model.init(r, b, False))(rng, init_batch)
     state = create_train_state(cfg, variables, total_steps)
@@ -133,7 +146,6 @@ def main():
 
     mesh = make_mesh(data=n_dev)
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data"))
     state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
     step_fn = jax.jit(make_train_step(cfg, model, total_steps), donate_argnums=0)
 
@@ -156,11 +168,9 @@ def main():
             if args.profile_steps and int(state.step) == 5 + args.profile_steps:
                 jax.profiler.stop_trace()
                 print("wrote profiler trace to", os.path.join(work_dir, "trace"))
-            batch = {
-                k: jax.device_put(jnp.asarray(v), shard)
-                for k, v in batch.items()
-                if k != "token"
-            }
+            batch = globalize_batch(
+                mesh, {k: v for k, v in batch.items() if k != "token"}
+            )
             data_time = time.time() - t_data
             rng, sub = jax.random.split(rng)
             t0 = time.time()
@@ -198,29 +208,51 @@ def main():
             save_checkpoint(os.path.join(work_dir, "ckpts"), state, int(state.step))
             print(f"saved checkpoint at epoch {epoch}")
         if args.eval_infos:
-            metrics = _evaluate(cfg, model, state, args.eval_infos, args.num_workers)
-            metrics["epoch"] = epoch
-            print("eval:", json.dumps(metrics, sort_keys=True))
-            with open(os.path.join(work_dir, "eval_log.jsonl"), "a") as f:
-                f.write(json.dumps(metrics) + "\n")
+            metrics = _evaluate(
+                cfg, model, state, args.eval_infos, args.num_workers, work_dir
+            )
+            if metrics is not None:  # process 0 only
+                metrics["epoch"] = epoch
+                print("eval:", json.dumps(metrics, sort_keys=True))
+                with open(os.path.join(work_dir, "eval_log.jsonl"), "a") as f:
+                    f.write(json.dumps(metrics) + "\n")
     loader.close()
 
 
-def _evaluate(cfg, train_model, state, infos, num_workers):
-    """Per-epoch val evaluation with the train-time proposal count."""
+def _evaluate(cfg, train_model, state, infos, num_workers, work_dir=None):
+    """Per-epoch val evaluation with the train-time proposal count.
+
+    Sharded like the reference's distributed test (tools/test.py:221-226):
+    batches spread over this process's local devices, the val split stride-
+    sharded across processes, predictions gathered to process 0 (which alone
+    returns the metric dict; other processes return None).
+    """
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from deepinteraction_tpu.data import DataLoader, NuScenesDataset
     from deepinteraction_tpu.eval.nuscenes_metrics import evaluate_detections
-    from deepinteraction_tpu.eval.results import gt_frame_from_info, predictions_to_frame
+    from deepinteraction_tpu.eval.results import (
+        ego_origin_in_lidar,
+        gt_frame_from_info,
+        predictions_to_frame,
+    )
     from deepinteraction_tpu.inference import get_bboxes
+    from deepinteraction_tpu.parallel.input import gather_results, local_mesh
+    from deepinteraction_tpu.parallel.mesh import shard_batch
 
     dataset = NuScenesDataset(cfg, infos, train=False)
-    loader = DataLoader(dataset, 1, num_workers=num_workers)
+    batch_size = cfg.data.samples_per_device * jax.local_device_count()
+    loader = DataLoader(
+        dataset,
+        batch_size,
+        num_workers=num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     dcfg = cfg.model.pts_bbox_head
+    mesh = local_mesh()
 
     @jax.jit
     def forward(variables, batch):
@@ -232,7 +264,7 @@ def _evaluate(cfg, train_model, state, infos, num_workers):
         pad = batch.pop("pad_count", 0)
         toks = batch.pop("token")
         det = jax.tree_util.tree_map(
-            np.asarray, forward(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+            np.asarray, forward(variables, shard_batch(mesh, batch))
         )
         for i in range(len(toks) - pad):
             frames.append(
@@ -243,10 +275,14 @@ def _evaluate(cfg, train_model, state, infos, num_workers):
             )
             tokens.append(toks[i])
     loader.close()
+    tmpdir = os.path.join(work_dir or ".", "eval_gather")
+    gathered = gather_results(list(zip(tokens, frames)), tmpdir)
+    if gathered is None:
+        return None  # non-zero process
+    tokens = [t for t, _ in gathered]
+    frames = [f for _, f in gathered]
     by_tok = {i["token"]: i for i in dataset.infos}
     gts = [gt_frame_from_info(by_tok[t]) for t in tokens]
-    from deepinteraction_tpu.eval.results import ego_origin_in_lidar
-
     for pf, t in zip(frames, tokens):
         pf.ego_translation = ego_origin_in_lidar(by_tok[t])
     return evaluate_detections(gts, frames, cfg.data.class_names)

@@ -84,9 +84,12 @@ def auction_assign(
     num_gt: jnp.ndarray,
     # a SINGLE small-eps phase measured 10x faster than eps scaling at
     # matching-cost scales (each phase resets assignments and re-churns the
-    # dummy columns); 0.01 is well under the assigner's cost resolution and
-    # scipy-exact on uniform(0,10) costs, gap <0.0005/GT at cost scale ~1
-    eps_phases: tuple = (0.01,),
+    # dummy columns). The epsilon is RELATIVE: eps = eps_rel * per-problem
+    # cost scale, so the (total cost) <= (optimum + eps*G) guarantee holds
+    # proportionally at any cost magnitude — a fixed absolute eps was only
+    # correct near the tuning scale (uniform(0,10), where 1e-3 relative
+    # reproduces the old 0.01 absolute).
+    eps_phases: tuple = (1e-3,),
     rounds_per_phase: int = 4096,
 ) -> jnp.ndarray:
     """Parallel (Jacobi) auction LAP on device (Bertsekas with eps scaling).
@@ -119,7 +122,12 @@ def auction_assign(
     col_ids = jnp.arange(g)
 
     def one_problem(bmat, ok, real):
-        def phase(carry, eps):
+        # per-problem cost scale (dummy columns are zero, so this reads the
+        # real-column magnitude); floors at 1e-6 for all-zero costs
+        scale = jnp.maximum(jnp.max(jnp.abs(bmat)), 1e-6)
+
+        def phase(carry, eps_rel):
+            eps = eps_rel * scale
             _, price = carry
             assign_col = jnp.full((g,), -1, jnp.int32)  # col -> row
 

@@ -97,3 +97,46 @@ def test_heuristic_assigner():
         heuristic_assign(jnp.asarray(boxes), jnp.asarray(gts), jnp.asarray([False] * 4))
     )
     assert (a3 == -1).all()
+
+
+@pytest.mark.parametrize("scale", [1e-3, 1.0, 1e3])
+def test_auction_extreme_cost_scales(scale):
+    """eps is relative to the cost scale, so the optimality gap stays
+    proportional whether costs are milli- or kilo-scale (VERDICT weak #5)."""
+    rng = np.random.default_rng(7)
+    p, g, ng = 64, 40, 40
+    for trial in range(3):
+        cost = (rng.uniform(0, 1, size=(p, g)) * scale).astype(np.float32)
+        a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(ng)))
+        assert (a >= 0).sum() == ng, "auction left GT unassigned"
+        rows, cols = linear_sum_assignment(cost[:, :ng])
+        ref = np.full(p, -1)
+        ref[rows] = cols
+        # theory bound: total cost within eps*G of optimum, eps = 1e-3*scale
+        gap = _cost_of(cost, a) - _cost_of(cost, ref)
+        assert gap <= 1.1e-3 * scale * ng, (scale, gap)
+
+
+def test_auction_adversarial_ties():
+    """Massively duplicated costs (worst case for bid increments) still
+    terminate within the round budget and assign every GT."""
+    rng = np.random.default_rng(11)
+    p, g, ng = 100, 60, 60
+    cost = rng.integers(0, 4, size=(p, g)).astype(np.float32)  # many ties
+    a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(ng)))
+    assert (a >= 0).sum() == ng
+    assigned = a[a >= 0]
+    assert len(set(assigned.tolist())) == ng
+    rows, cols = linear_sum_assignment(cost[:, :ng])
+    ref = np.full(p, -1)
+    ref[rows] = cols
+    assert _cost_of(cost, a) <= _cost_of(cost, ref) + 1.1e-3 * 4 * ng
+
+
+def test_auction_duality_gap_constant_costs():
+    """All-equal costs: any perfect matching is optimal; completeness is
+    the whole game."""
+    cost = np.full((50, 20), 2.5, np.float32)
+    a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(20)))
+    assert (a >= 0).sum() == 20
+    assert len(set(a[a >= 0].tolist())) == 20

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..configs import BBoxCoderConfig, DecoderConfig
-from ..ops.roi_align import roi_align
+from ..ops.roi_align import roi_align, roi_align_views
 from ..targets.coder import TransFusionBBoxCoder
 from ..utils.boxes import corners as box_corners
 from ..utils.geometry import transform_points
@@ -116,6 +116,13 @@ class DynamicConv(nn.Module):
         return nn.relu(nn.LayerNorm(name="norm3")(f))
 
 
+def _mask_kw(mask):
+    """Route a [B, S] key mask or [B, L, S] per-query mask to TorchMHA."""
+    if mask is None:
+        return {}
+    return {"attn_mask": mask} if mask.ndim == 3 else {"key_mask": mask}
+
+
 class _RCNNCore(nn.Module):
     """Shared self-attn -> DynamicConv -> FFN trunk of the RCNN blocks
     (decoder_utils.py:743-756 and 824-837)."""
@@ -129,7 +136,7 @@ class _RCNNCore(nn.Module):
     def __call__(self, query_feat, roi_feats, attn_key_mask):
         train = self.train_mode
         y = TorchMHA(self.hidden, self.num_heads, self.dropout, name="self_attn")(
-            query_feat, query_feat, query_feat, key_mask=attn_key_mask, train=train
+            query_feat, query_feat, query_feat, **_mask_kw(attn_key_mask), train=train
         )
         q = nn.LayerNorm(name="norm1")(query_feat + y)
         y = DynamicConv(self.hidden, self.hidden, name="dyconv")(q, roi_feats)
@@ -155,7 +162,7 @@ class _RCNNCoreV2(nn.Module):
         train = self.train_mode
         c = self.hidden
         y = TorchMHA(c, self.num_heads, self.dropout, name="self_attn")(
-            query_feat, query_feat, query_feat, key_mask=attn_key_mask, train=train
+            query_feat, query_feat, query_feat, **_mask_kw(attn_key_mask), train=train
         )
         q = nn.LayerNorm(name="norm1")(query_feat + y)
         self_feat = q
@@ -201,13 +208,14 @@ class ImageRCNNBlock(nn.Module):
         centers3d = jax.lax.stop_gradient(jnp.stack([qx, qy, qz], -1))  # [B,P,3]
         crn = box_corners(boxes[..., :7])  # [B, P, 8, 3]
 
-        def project(ctr, crn_s, l2i, aug_inv, ifeat):
-            """One sample: ROI crops + on-image masks for every view."""
+        def project(ctr, crn_s, l2i, aug_inv):
+            """One sample: projection math only (on-image masks + corner
+            rects per view); sampling happens once, for the winning view."""
             pts = jnp.concatenate([ctr, crn_s.reshape(p * 8, 3)], 0)  # [9P, 3]
             raw = transform_points(aug_inv, pts)
             hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
 
-            def per_view(mat, feat_v):
+            def per_view(mat):
                 cam = hom @ mat.T
                 z = jnp.maximum(cam[:, 2], 1e-5)
                 xy = cam[:, :2] / z[:, None]
@@ -220,39 +228,44 @@ class ImageRCNNBlock(nn.Module):
                 rect = jnp.concatenate(
                     [jnp.min(korn, axis=1), jnp.max(korn, axis=1)], -1
                 )  # [P, 4] (x0, y0, x1, y1) image coords
-                rois = roi_align(
-                    feat_v, rect, output_size=7,
-                    spatial_scale=1.0 / cfg.out_size_factor_img,
-                )
-                return rois.reshape(p, 49, c), on_img
+                return rect, on_img
 
-            return jax.vmap(per_view)(l2i, ifeat)
+            return jax.vmap(per_view)(l2i)
 
-        rois, on_img = jax.vmap(project)(
-            centers3d, crn, batch["lidar2img"], batch["lidar_aug_inv"], img_feats
-        )  # rois [B, V, P, 49, C]; on_img [B, V, P]
+        rect, on_img = jax.vmap(project)(
+            centers3d, crn, batch["lidar2img"], batch["lidar_aug_inv"]
+        )  # rect [B, V, P, 4]; on_img [B, V, P]
 
-        # refine per view with shared weights: queries attend only within
-        # their view (key mask); off-view rows are discarded by the select
-        VmappedCore = nn.vmap(
-            _rcnn_core(cfg.variant),
-            in_axes=(1, 1, 1),
-            out_axes=1,
-            variable_axes={"params": None, "batch_stats": None},
-            split_rngs={"params": False, "dropout": True},
-        )
-        qf_tiled = jnp.broadcast_to(query_feat[:, None], (b, v, p, c))
-        refined = VmappedCore(
-            cfg.hidden_channel, cfg.num_heads, cfg.dropout, train, name="core"
-        )(qf_tiled, rois, on_img)  # [B, V, P, C]
-
-        # last view wins among views where the query is on-image
+        # "last view wins" (reference runs the RCNN for every view and lets
+        # the last on-image view's rows overwrite, decoder_utils.py:726-758)
+        # — only ONE view's refinement survives per query, so resolve the
+        # winner FIRST and sample/refine only that view: 6x less ROI
+        # sampling and attention for identical output.
         view_ids = jnp.arange(v)[None, :, None]
         eff = jnp.max(jnp.where(on_img, view_ids, -1), axis=1)  # [B, P]
         any_on = eff >= 0
         sel = jnp.clip(eff, 0, v - 1)
-        out = jnp.take_along_axis(refined, sel[:, None, :, None], axis=1)[:, 0]
-        out = jnp.where(any_on[..., None], out, 0.0)
+
+        rect_sel = jnp.take_along_axis(rect, sel[:, None, :, None], axis=1)[:, 0]
+        rois = jax.vmap(
+            lambda f, r, vi: roi_align_views(
+                f, r, vi, output_size=7,
+                spatial_scale=1.0 / cfg.out_size_factor_img,
+            )
+        )(img_feats, rect_sel, sel)  # [B, P, 7, 7, C]
+        rois = rois.reshape(b, p, 49, c)
+
+        # per-query key set: query i self-attends over the queries on ITS
+        # winning view (what the per-view key mask expressed before);
+        # diagonal forced on so fully-off queries stay NaN-free
+        attn_mask = jnp.take_along_axis(on_img, sel[:, :, None], axis=1)
+        attn_mask = attn_mask | jnp.eye(p, dtype=bool)[None]
+
+        refined = _rcnn_core(cfg.variant)(
+            cfg.hidden_channel, cfg.num_heads, cfg.dropout, train, name="core"
+        )(query_feat, rois, attn_mask)  # [B, P, C]
+
+        out = jnp.where(any_on[..., None], refined, 0.0)
         return out, eff  # eff == -1 means "not on any image"
 
 

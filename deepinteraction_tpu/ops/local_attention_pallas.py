@@ -14,10 +14,22 @@ i+2, so each grid step sees the row-tile plus both neighbours and slices
 the (TH+2r)-row window statically. No manual DMA/semaphores (the axon
 runtime crashed on the make_async_copy variant).
 
-Boundary semantics match the CUDA kernel bit-for-bit via zero padding
-(zero key -> logit 0 exactly like ``similar`` writes 0 for out-of-window
-taps; zero value -> no contribution, like ``weighting`` skips them); the
-softmax runs over all k² taps including those zeros, as the reference does.
+Compute formulation (v2): block-dense attention on the MXU. The original
+kernel looped the k² taps with VPU dot-products (elementwise multiply +
+cross-lane reduce per tap) and measured ~10 ms per [6,112,200,128] call —
+~50x off roofline. Instead, every query in the 8-row tile attends to the
+FULL (8+2r) x (W+2r) halo key block via two matmuls
+(QK^T: [8W, C] x [C, (8+2r)(W+2r)], then attn @ V), with the k²-window
+constraint applied as a geometric mask on the logit matrix (two iota
+comparisons). 81-tap sliding-window attention becomes ~2x 680 MFLOP MXU
+contractions per grid step instead of 81 VPU passes. Matmuls run in bf16
+with fp32 accumulation by default (DI_LOCATT_MXU=f32 opts out).
+
+Boundary semantics match the CUDA kernel via zero padding (zero key ->
+logit 0 exactly like ``similar`` writes 0 for out-of-window taps; zero
+value -> no contribution, like ``weighting`` skips them); the softmax runs
+over all k² taps including those zeros, as the reference does — the window
+mask keeps exactly the k² tap positions, padded or not.
 
 Backward: custom VJP that re-differentiates the XLA oracle formulation —
 numerically identical, paid only at train time.
@@ -36,40 +48,57 @@ from .local_attention import local_attention as _xla_local_attention
 
 TH = 8  # row-tile height (fp32 sublane)
 
+_MXU_DTYPE = (
+    jnp.float32
+    if __import__("os").environ.get("DI_LOCATT_MXU", "bf16") == "f32"
+    else jnp.bfloat16
+)
 
-def _kernel(q_ref, k0, k1, k2, v0, v1, v2, out_ref, k_scr, v_scr, *, kk, w, c):
+
+def _kernel(q_ref, k0, k1, k2, v0, v1, v2, out_ref, *, kk, w, c, wwp):
     r = kk // 2
-    # assemble the 3-row-tile halo window in VMEM scratch so taps can use
-    # dynamic (pl.ds) ref indexing — Mosaic has no value dynamic_slice
-    k_scr[0:TH] = k0[0]
-    k_scr[TH : 2 * TH] = k1[0]
-    k_scr[2 * TH : 3 * TH] = k2[0]
-    v_scr[0:TH] = v0[0]
-    v_scr[TH : 2 * TH] = v1[0]
-    v_scr[2 * TH : 3 * TH] = v2[0]
+    hw = TH + 2 * r
+    # assemble the halo window from the three pipelined row-tiles (static
+    # slices, so plain value concatenation — no scratch needed). The width
+    # is pre-padded to wwp (multiple of 8) OUTSIDE the kernel so the
+    # [hw, wwp, c] -> [hw*wwp, c] merge below is layout-preserving; the
+    # padded columns carry zero keys and are excluded by the window mask.
+    kwin = jnp.concatenate([k0[0, TH - r :], k1[0], k2[0, :r]], axis=0)
+    vwin = jnp.concatenate([v0[0, TH - r :], v1[0], v2[0, :r]], axis=0)
 
-    q = q_ref[0]  # [TH, W, C]
+    q = q_ref[0].astype(_MXU_DTYPE)  # [TH, w, c]
+    keys = kwin.reshape(hw * wwp, c).astype(_MXU_DTYPE)
+    vals = vwin.reshape(hw * wwp, c).astype(_MXU_DTYPE)
+
     scale = jax.lax.rsqrt(jnp.float32(c))
+    logits = (
+        jax.lax.dot_general(
+            q, keys, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # [TH, w, hw*wwp]
 
-    def tap(t, carry):
-        m, den, acc = carry
-        dh = t // kk + (TH - r)
-        dw = t % kk
-        ks = k_scr[pl.ds(dh, TH), pl.ds(dw, w), :]
-        vs = v_scr[pl.ds(dh, TH), pl.ds(dw, w), :]
-        logit = jnp.sum(q * ks, axis=-1) * scale  # [TH, W]
-        m_new = jnp.maximum(m, logit)
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(logit - m_new)
-        den = den * alpha + p
-        acc = acc * alpha[..., None] + p[..., None] * vs
-        return m_new, den, acc
+    # geometric window mask: query (qy, qx) keeps key (ky, kx) iff the key
+    # lies in its k x k window; in halo coordinates that is
+    # ky - qy ∈ [0, 2r] and kx - qx ∈ [0, 2r] (padded kx > w-1+2r never
+    # passes, so the zero-key pad columns drop out automatically)
+    shp = (TH, w, hw * wwp)
+    qy = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    qx = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    ki = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+    dy = ki // wwp - qy
+    dx = ki % wwp - qx
+    keep = (dy >= 0) & (dy <= 2 * r) & (dx >= 0) & (dx <= 2 * r)
+    logits = jnp.where(keep, logits, -jnp.inf)
 
-    m0 = jnp.full((TH, w), -jnp.inf, jnp.float32)
-    den0 = jnp.zeros((TH, w), jnp.float32)
-    acc0 = jnp.zeros((TH, w, c), jnp.float32)
-    _, den, acc = jax.lax.fori_loop(0, kk * kk, tap, (m0, den0, acc0))
-    out_ref[0] = (acc / den[..., None]).astype(out_ref.dtype)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    den = jnp.sum(p, axis=-1, keepdims=True)
+    attn = (p / den).astype(_MXU_DTYPE)
+    out = jax.lax.dot_general(
+        attn, vals, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "interpret"))
@@ -78,19 +107,20 @@ def _pallas_forward(q, k, v, kernel: int, interpret: bool = False):
     r = kernel // 2
     assert r <= TH, f"kernel {kernel} halo exceeds one row-tile"
     hp = pl.cdiv(h, TH) * TH
+    wwp = pl.cdiv(w + 2 * r, 8) * 8  # key width padded for aligned reshape
     qp = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, hp - h), (0, 0), (0, 0)))
     # K/V: one full row-tile of zero padding above and below (+ the W halo)
-    pad_kv = ((0, 0), (TH, TH + hp - h), (r, r), (0, 0))
+    pad_kv = ((0, 0), (TH, TH + hp - h), (r, wwp - w - r), (0, 0))
     kp = jnp.pad(k.astype(jnp.float32), pad_kv)
     vp = jnp.pad(v.astype(jnp.float32), pad_kv)
 
     kv_spec = lambda off: pl.BlockSpec(
-        (1, TH, w + 2 * r, c),
+        (1, TH, wwp, c),
         lambda bi, hi, off=off: (bi, hi + off, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, kk=kernel, w=w, c=c),
+        functools.partial(_kernel, kk=kernel, w=w, c=c, wwp=wwp),
         out_shape=jax.ShapeDtypeStruct((b, hp, w, c), q.dtype),
         grid=(b, hp // TH),
         in_specs=[
@@ -107,14 +137,10 @@ def _pallas_forward(q, k, v, kernel: int, interpret: bool = False):
         out_specs=pl.BlockSpec(
             (1, TH, w, c), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((3 * TH, w + 2 * r, c), jnp.float32),
-            pltpu.VMEM((3 * TH, w + 2 * r, c), jnp.float32),
-        ],
-        # 6 pipelined kv blocks + 2 halo scratches exceed the default 16M
-        # scoped budget at W=200; v5e has far more physical VMEM
+        # 6 pipelined kv blocks + the [TH*w, (TH+2r)(w+2r)] fp32 logit
+        # matrix (~21 MB at W=200) exceed the default 16M scoped budget
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(qp, kp, kp, kp, vp, vp, vp)

@@ -78,16 +78,51 @@ def dense_index_map(st: SparseTensor) -> jnp.ndarray:
     return dense.at[ids].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
 
 
+def dense_index_map3(st: SparseTensor) -> jnp.ndarray:
+    """x-widened dense map: m3[t] = (map[t-1], map[t], map[t+1]), [N, 3].
+
+    Gathers on TPU are index-rate-bound (~10 ns per gathered element OR
+    row, independent of row width up to a tile), so fetching the three
+    x-taps of a (dz, dy) group as ONE 3-wide row gather instead of three
+    element gathers cuts neighbor-table cost ~2.4x (measured on v5e at
+    stage-0 size: 27 element gathers 51 ms -> m3 build 9 ms + 9 row
+    gathers 12 ms). Costs 3x the dense map in HBM transiently (~1 GB at
+    the full 41x1440x1440 grid).
+    """
+    dmap = dense_index_map(st)
+    k = st.coords.shape[0]
+    mm = jnp.pad(dmap, (1, 1), constant_values=k)
+    return jnp.stack([mm[:-2], mm[1:-1], mm[2:]], axis=1)
+
+
 def subm_neighbor_table(
     st: SparseTensor, kernel=(3, 3, 3), dense_map: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     """[K, prod(kernel)] gather indices into the active set (K = miss).
 
     Tap d of output site i reads input site at coords[i] + d - kernel//2,
-    matching spconv SubMConv3d (same active set in and out).
+    matching spconv SubMConv3d (same active set in and out). For 3x3x3
+    kernels the taps are fetched 3-at-a-time from the x-widened map
+    (``dense_index_map3``); other kernels use per-tap element gathers.
     """
     nz, ny, nx = st.shape
     k = st.coords.shape[0]
+    n = nz * ny * nx
+    if tuple(kernel) == (3, 3, 3) and dense_map is None:
+        m3 = dense_index_map3(st)
+        tables = []
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tz = st.coords[:, 0] + dz
+                ty = st.coords[:, 1] + dy
+                base = (tz * ny + ty) * nx + st.coords[:, 2]
+                rows = m3[jnp.clip(base, 0, n - 1)]  # [K, 3] = dx -1,0,1
+                zyok = (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny) & st.valid
+                for i, dx in enumerate((-1, 0, 1)):
+                    tx = st.coords[:, 2] + dx
+                    inb = zyok & (tx >= 0) & (tx < nx)
+                    tables.append(jnp.where(inb, rows[:, i], k))
+        return jnp.stack(tables, axis=1).astype(jnp.int32)
     if dense_map is None:
         dense_map = dense_index_map(st)
     offs = _kernel_offsets(kernel)
@@ -224,6 +259,27 @@ def strided_neighbor_table(
     """[Ko, prod(kernel)] input indices for a strided sparse conv."""
     nz, ny, nx = in_st.shape
     k = in_st.coords.shape[0]
+    n = nz * ny * nx
+    if tuple(kernel) == (3, 3, 3) and dense_map is None:
+        # fetch each (dz, dy) group's three x-taps as one 3-wide row
+        # gather from the x-widened map (see dense_index_map3)
+        m3 = dense_index_map3(in_st)
+        tables = []
+        for dz in range(3):
+            for dy in range(3):
+                tz = out_coords[:, 0] * stride[0] - padding[0] + dz
+                ty = out_coords[:, 1] * stride[1] - padding[1] + dy
+                cx = out_coords[:, 2] * stride[2] - padding[2] + 1
+                base = (tz * ny + ty) * nx + cx
+                rows = m3[jnp.clip(base, 0, n - 1)]  # [Ko, 3] = dx 0,1,2
+                zyok = (
+                    (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny)
+                ) & out_valid
+                for i in range(3):
+                    tx = out_coords[:, 2] * stride[2] - padding[2] + i
+                    inb = zyok & (tx >= 0) & (tx < nx)
+                    tables.append(jnp.where(inb, rows[:, i], k))
+        return jnp.stack(tables, axis=1).astype(jnp.int32)
     if dense_map is None:
         dense_map = dense_index_map(in_st)
     tables = []

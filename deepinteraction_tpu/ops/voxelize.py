@@ -103,29 +103,56 @@ def voxelize(
     pos = idx - seg_start_idx
 
     keep = valid_s & (pos < max_num_points) & (voxel_rank < max_voxels)
-    slot = jnp.where(keep, voxel_rank, max_voxels)  # overflow row
-    pos_c = jnp.where(keep, pos, 0)
 
-    # scatter points into [max_voxels+1, max_pts, D]; drop overflow row after
+    # Gather-formulated output build (TPU: scatters and gathers are
+    # index-rate-bound at ~10 ns/index regardless of row width, so the
+    # old [K*P]-index scatter of single points is replaced by ONE
+    # K-index scatter of segment starts + K ROW gathers of P-point
+    # windows — ~P x fewer indices; measured ~2x on the voxelizer tail).
+    #
+    # starts[r] = sorted index of voxel rank r's first point; rank
+    # max_voxels (the first overflow voxel) is stored too so the last
+    # kept voxel's segment still ends at the right place on overflow
+    rank_c = jnp.where(
+        first & (voxel_rank <= max_voxels), voxel_rank, max_voxels + 1
+    )
+    starts_full = jnp.zeros((max_voxels + 2,), jnp.int32).at[rank_c].set(
+        idx, mode="drop"
+    )
+    starts = starts_full[:max_voxels]
+    # seg_len per voxel = next segment start - own start (valid ranks only)
+    total_valid = jnp.sum(valid_s.astype(jnp.int32))
+    nxt = starts_full[1 : max_voxels + 1]
+    vslot = jnp.arange(max_voxels, dtype=jnp.int32)
+    slot_ok = vslot < jnp.minimum(num_voxels, max_voxels)
+    nxt = jnp.where(vslot + 1 < num_voxels, nxt, total_valid)
+    counts = jnp.where(
+        slot_ok, jnp.minimum(nxt - starts, max_num_points), 0
+    ).astype(jnp.int32)
+
+    # P-point window table: win[i] = pts_s[i : i + P] flattened to one
+    # [P*D]-wide row so each voxel costs ONE single-tile row gather
+    # (a [N, P, D] layout spans 2 tiles/row and measured 6x slower)
     pts_s = points[order]
-    voxels = jnp.zeros((max_voxels + 1, max_num_points, d), points.dtype)
-    voxels = voxels.at[slot, pos_c].set(
-        jnp.where(keep[:, None], pts_s, 0.0), mode="drop"
+    win = jnp.concatenate(
+        [
+            jnp.pad(pts_s[p:], ((0, p), (0, 0)))
+            for p in range(max_num_points)
+        ],
+        axis=1,
+    )  # [N, P*D]
+    voxels = win[jnp.where(slot_ok, starts, 0)].reshape(
+        max_voxels, max_num_points, d
     )
-    voxels = voxels[:max_voxels]
+    pmask = jnp.arange(max_num_points, dtype=jnp.int32)[None, :] < counts[:, None]
+    voxels = jnp.where(pmask[..., None], voxels, 0.0)
 
-    counts = jnp.zeros((max_voxels + 1,), jnp.int32)
-    counts = counts.at[slot].add(keep.astype(jnp.int32), mode="drop")
-    counts = counts[:max_voxels]
-
-    coords = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
     izyx = jnp.stack([iz, iy, ix], axis=-1)[order]
-    coords = coords.at[slot].set(
-        jnp.where(keep[:, None], izyx, -1), mode="drop"
-    )
-    coords = coords[:max_voxels]
+    coords = izyx[jnp.where(slot_ok, starts, 0)]
+    coords = jnp.where(slot_ok[:, None], coords, -1)
 
-    # map back: destination slot per ORIGINAL point index
+    # map back: destination slot per ORIGINAL point index (consumed only
+    # by tests; dead-code-eliminated from the model's jitted graph)
     point_voxel = jnp.full((n,), -1, jnp.int32)
     point_voxel = point_voxel.at[order].set(jnp.where(keep, voxel_rank, -1))
 

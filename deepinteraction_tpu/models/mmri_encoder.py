@@ -32,12 +32,7 @@ from flax import linen as nn
 from ..configs import MMRIEncoderConfig
 from ..ops.depth_fill import fill_in_multiscale
 from ..ops.local_attention_pallas import local_attention_auto as local_attention
-from ..utils.geometry import (
-    build_patch_table,
-    grid_sample_2d,
-    grid_sample_2d_views_patch,
-    transform_points,
-)
+from ..utils.geometry import grid_sample_2d, grid_sample_2d_views, transform_points
 from .layers import ConvBNReLU
 
 
@@ -127,10 +122,11 @@ class MMRI_I2P(nn.Module):
 
         def per_sample(lfeat, ifeat, pil, cnt, coor, pvalid, l2i, aug_inv):
             ifeat = ifeat.astype(cdt)
-            # 2x2-patch gather table: one tile read per sampled point
-            # instead of four (see utils/geometry.build_patch_table)
-            ptable = build_patch_table(ifeat)
-            vhw = ifeat.shape[:3]
+            # NB: the 2x2-patch gather table (build_patch_table) measured a
+            # WASH here — at C=128 the per-index gather cost scales with
+            # row bytes, so 1 patch-row gather == 4 plain row gathers, and
+            # the table build adds ~2 ms/layer. It wins only for
+            # narrow-channel sampling (MSDA's 16-ch heads, deform_attn.py).
             q_all = lfeat[coor[:, 1], coor[:, 2]]  # [Kp, C]
             qh_all = (q_all @ wq + bq) * (1.0 / jnp.sqrt(jnp.float32(c)))
 
@@ -169,7 +165,7 @@ class MMRI_I2P(nn.Module):
                         okr.transpose(1, 0, 2), vsel[:, :, None], axis=1
                     ).reshape(chunk, nv * p)
                     vidx = jnp.broadcast_to(vsel[:, :, None], (chunk, nv, p))
-                    sampled = grid_sample_2d_views_patch(ptable, vhw, gsel, vidx)
+                    sampled = grid_sample_2d_views(ifeat, gsel, vidx)
                     keys = sampled.reshape(chunk, nv * p, c).astype(cdt)
                 else:
                     sampled = jax.vmap(grid_sample_2d)(ifeat, grids)

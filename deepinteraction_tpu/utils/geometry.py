@@ -275,24 +275,31 @@ def grid_sample_2d_views_patch(
     base = (view_idx.astype(jnp.int32) * h + ys) * w + xs
     g = table[base]  # [..., 4, C] = (y,x) (y,x+1) (y+1,x) (y+1,x+1)
 
-    def tap(dy, dx, inside):
-        cy = jnp.clip(oy + dy, 0, 1)
-        cx = jnp.clip(ox + dx, 0, 1)
-        sel = (cy * 2 + cx)[..., None, None]
-        val = jnp.take_along_axis(g, sel, axis=-2)[..., 0, :]
-        return jnp.where(inside[..., None], val, 0.0)
-
-    vx0 = (x0 >= 0) & (x0 < w)
-    vx1 = (x0 + 1 >= 0) & (x0 + 1 < w)
-    vy0 = (y0 >= 0) & (y0 < h)
-    vy1 = (y0 + 1 >= 0) & (y0 + 1 < h)
-    v00 = tap(0, 0, vx0 & vy0)
-    v01 = tap(0, 1, vx1 & vy0)
-    v10 = tap(1, 0, vx0 & vy1)
-    v11 = tap(1, 1, vx1 & vy1)
-    wx0, wx1 = (1.0 - tx)[..., None], tx[..., None]
-    wy0, wy1 = (1.0 - ty)[..., None], ty[..., None]
-    return (v00 * wx0 + v01 * wx1) * wy0 + (v10 * wx0 + v11 * wx1) * wy1
+    # Bilinear weights are separable (w_tap = wx * wy, validity vx & vy),
+    # and the clamp maps each axis's taps onto patch cells independently,
+    # so the tap->cell routing folds into per-axis CELL weights — scalar
+    # arithmetic only. (A take_along_axis per tap lowers to 4 extra
+    # element-rate gathers and measured 2x slower than the 4 plain row
+    # gathers it was meant to replace.)
+    #   ox == -1 (anchor clamped up):  cell x0 <- tap x1, cell x1 <- 0
+    #   ox ==  0 (interior):           cell x0 <- tap x0, cell x1 <- tap x1
+    #   ox == +1 (anchor clamped dn):  cell x0 <- 0,      cell x1 <- tap x0
+    vx0 = ((x0 >= 0) & (x0 < w)).astype(tx.dtype)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < w)).astype(tx.dtype)
+    vy0 = ((y0 >= 0) & (y0 < h)).astype(ty.dtype)
+    vy1 = ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(ty.dtype)
+    wxa, wxb = (1.0 - tx) * vx0, tx * vx1  # tap x0 / tap x1 weights
+    wya, wyb = (1.0 - ty) * vy0, ty * vy1
+    cwx0 = jnp.where(ox == 0, wxa, jnp.where(ox == -1, wxb, 0.0))
+    cwx1 = jnp.where(ox == 0, wxb, jnp.where(ox == 1, wxa, 0.0))
+    cwy0 = jnp.where(oy == 0, wya, jnp.where(oy == -1, wyb, 0.0))
+    cwy1 = jnp.where(oy == 0, wyb, jnp.where(oy == 1, wya, 0.0))
+    return (
+        (cwy0 * cwx0)[..., None] * g[..., 0, :]
+        + (cwy0 * cwx1)[..., None] * g[..., 1, :]
+        + (cwy1 * cwx0)[..., None] * g[..., 2, :]
+        + (cwy1 * cwx1)[..., None] * g[..., 3, :]
+    )
 
 
 def make_rotation_z(angle) -> jnp.ndarray:

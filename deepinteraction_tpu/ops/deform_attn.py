@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..utils.geometry import build_patch_table, grid_sample_2d_views_patch
+from ..utils.geometry import build_patch_table_flat, grid_sample_2d_views_patch_flat
 
 
 def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
@@ -79,14 +79,15 @@ class MSDeformableAttention(nn.Module):
             grid = loc * 2.0 - 1.0  # [B, Nq, h, p, 2]
 
             def sample_one(vb, gb):  # [hh, ww, h, hd], [Nq, h, p, 2]
-                # heads act as "views" of a 2x2-patch table: all 4 bilinear
-                # taps of a (query, head, point) arrive in one row gather
-                # (see utils/geometry.build_patch_table)
-                table = build_patch_table(jnp.transpose(vb, (2, 0, 1, 3)))
+                # heads act as "views" of a FLAT 2x2-patch table: all 4
+                # bilinear taps of a (query, head, point) arrive in one
+                # [4*hd]-lane row gather — measured 3.7x faster than
+                # per-head 4-tap gathers at hd=16 (PERF.md round 2)
+                table = build_patch_table_flat(jnp.transpose(vb, (2, 0, 1, 3)))
                 hidx = jnp.broadcast_to(
                     jnp.arange(h, dtype=jnp.int32)[None, :, None], gb.shape[:-1]
                 )
-                return grid_sample_2d_views_patch(table, (h, hh, ww), gb, hidx)
+                return grid_sample_2d_views_patch_flat(table, (h, hh, ww), gb, hidx)
 
             sampled = jax.vmap(sample_one)(v_l, grid)  # [B, Nq, h, p, hd]
             out = out + jnp.sum(sampled * weights[:, :, :, li, :, None], axis=3)

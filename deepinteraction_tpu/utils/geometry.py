@@ -234,6 +234,64 @@ def build_patch_table(feats: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def build_patch_table_flat(feats: jnp.ndarray) -> jnp.ndarray:
+    """[V, H, W, C] -> [V*H*W, 4*C] patch table (cells side-by-side in the
+    LANE dimension). For C <= 32 this is the layout that gathers fastest:
+    the whole row is a sub-tile lane run, measured 3.7x faster than per-tap
+    gathers at MSDA shapes (C=16). For C = 128 prefer
+    :func:`build_patch_table` ([N, 4, C], sublane-packed)."""
+    v, h, w, c = feats.shape
+    fl = feats.reshape(v * h * w, c)
+    return jnp.concatenate(
+        [fl, jnp.roll(fl, -1, 0), jnp.roll(fl, -w, 0), jnp.roll(fl, -(w + 1), 0)],
+        axis=1,
+    )
+
+
+def _patch_cells(vhw, grid_xy, view_idx, align_corners):
+    """Shared 2x2-patch addressing: anchor row index + per-cell bilinear
+    weights with zero-padding semantics folded in.
+
+    Bilinear weights are separable (w_tap = wx * wy, validity vx & vy), and
+    the edge clamp maps each axis's taps onto patch cells independently, so
+    the tap->cell routing folds into per-axis CELL weights — pure scalar
+    arithmetic. (A take_along_axis per tap lowers to 4 extra element-rate
+    gathers and measured 2x slower than the 4 plain row gathers it was
+    meant to replace.)
+      ox == -1 (anchor clamped up):  cell x0 <- tap x1, cell x1 <- 0
+      ox ==  0 (interior):           cell x0 <- tap x0, cell x1 <- tap x1
+      ox == +1 (anchor clamped dn):  cell x0 <- 0,      cell x1 <- tap x0
+    """
+    v, h, w = vhw
+    x, y = grid_xy[..., 0], grid_xy[..., 1]
+    if align_corners:
+        fx = (x + 1.0) * 0.5 * (w - 1)
+        fy = (y + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((x + 1.0) * w - 1.0) * 0.5
+        fy = ((y + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    xs = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
+    ys = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
+    ox = jnp.clip(x0, -1, w - 1).astype(jnp.int32) - xs
+    oy = jnp.clip(y0, -1, h - 1).astype(jnp.int32) - ys
+    base = (view_idx.astype(jnp.int32) * h + ys) * w + xs
+    vx0 = ((x0 >= 0) & (x0 < w)).astype(tx.dtype)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < w)).astype(tx.dtype)
+    vy0 = ((y0 >= 0) & (y0 < h)).astype(ty.dtype)
+    vy1 = ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(ty.dtype)
+    wxa, wxb = (1.0 - tx) * vx0, tx * vx1  # tap x0 / tap x1 weights
+    wya, wyb = (1.0 - ty) * vy0, ty * vy1
+    cwx0 = jnp.where(ox == 0, wxa, jnp.where(ox == -1, wxb, 0.0))
+    cwx1 = jnp.where(ox == 0, wxb, jnp.where(ox == 1, wxa, 0.0))
+    cwy0 = jnp.where(oy == 0, wya, jnp.where(oy == -1, wyb, 0.0))
+    cwy1 = jnp.where(oy == 0, wyb, jnp.where(oy == 1, wya, 0.0))
+    return base, (cwy0 * cwx0, cwy0 * cwx1, cwy1 * cwx0, cwy1 * cwx1)
+
+
 def grid_sample_2d_views_patch(
     table: jnp.ndarray,
     vhw: tuple,
@@ -253,52 +311,34 @@ def grid_sample_2d_views_patch(
     Returns:
         [..., C] sampled features.
     """
-    v, h, w = vhw
-    x, y = grid_xy[..., 0], grid_xy[..., 1]
-    if align_corners:
-        fx = (x + 1.0) * 0.5 * (w - 1)
-        fy = (y + 1.0) * 0.5 * (h - 1)
-    else:
-        fx = ((x + 1.0) * w - 1.0) * 0.5
-        fy = ((y + 1.0) * h - 1.0) * 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    tx = fx - x0
-    ty = fy - y0
-
-    # patch anchor, clamped so the 2x2 window stays inside the view; the
-    # anchor offset (ox, oy ∈ {-1, 0}) realigns taps after the clamp
-    xs = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
-    ys = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
-    ox = jnp.clip(x0, -1, w - 1).astype(jnp.int32) - xs
-    oy = jnp.clip(y0, -1, h - 1).astype(jnp.int32) - ys
-    base = (view_idx.astype(jnp.int32) * h + ys) * w + xs
+    base, (w00, w01, w10, w11) = _patch_cells(vhw, grid_xy, view_idx, align_corners)
     g = table[base]  # [..., 4, C] = (y,x) (y,x+1) (y+1,x) (y+1,x+1)
-
-    # Bilinear weights are separable (w_tap = wx * wy, validity vx & vy),
-    # and the clamp maps each axis's taps onto patch cells independently,
-    # so the tap->cell routing folds into per-axis CELL weights — scalar
-    # arithmetic only. (A take_along_axis per tap lowers to 4 extra
-    # element-rate gathers and measured 2x slower than the 4 plain row
-    # gathers it was meant to replace.)
-    #   ox == -1 (anchor clamped up):  cell x0 <- tap x1, cell x1 <- 0
-    #   ox ==  0 (interior):           cell x0 <- tap x0, cell x1 <- tap x1
-    #   ox == +1 (anchor clamped dn):  cell x0 <- 0,      cell x1 <- tap x0
-    vx0 = ((x0 >= 0) & (x0 < w)).astype(tx.dtype)
-    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < w)).astype(tx.dtype)
-    vy0 = ((y0 >= 0) & (y0 < h)).astype(ty.dtype)
-    vy1 = ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(ty.dtype)
-    wxa, wxb = (1.0 - tx) * vx0, tx * vx1  # tap x0 / tap x1 weights
-    wya, wyb = (1.0 - ty) * vy0, ty * vy1
-    cwx0 = jnp.where(ox == 0, wxa, jnp.where(ox == -1, wxb, 0.0))
-    cwx1 = jnp.where(ox == 0, wxb, jnp.where(ox == 1, wxa, 0.0))
-    cwy0 = jnp.where(oy == 0, wya, jnp.where(oy == -1, wyb, 0.0))
-    cwy1 = jnp.where(oy == 0, wyb, jnp.where(oy == 1, wya, 0.0))
     return (
-        (cwy0 * cwx0)[..., None] * g[..., 0, :]
-        + (cwy0 * cwx1)[..., None] * g[..., 1, :]
-        + (cwy1 * cwx0)[..., None] * g[..., 2, :]
-        + (cwy1 * cwx1)[..., None] * g[..., 3, :]
+        w00[..., None] * g[..., 0, :]
+        + w01[..., None] * g[..., 1, :]
+        + w10[..., None] * g[..., 2, :]
+        + w11[..., None] * g[..., 3, :]
+    )
+
+
+def grid_sample_2d_views_patch_flat(
+    table: jnp.ndarray,
+    vhw: tuple,
+    grid_xy: jnp.ndarray,
+    view_idx: jnp.ndarray,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """:func:`grid_sample_2d_views_patch` against the FLAT
+    ([V*H*W, 4*C], :func:`build_patch_table_flat`) layout — the fast
+    variant for narrow channels (MSDA heads, C<=32)."""
+    c = table.shape[-1] // 4
+    base, (w00, w01, w10, w11) = _patch_cells(vhw, grid_xy, view_idx, align_corners)
+    g = table[base]  # [..., 4*C]
+    return (
+        w00[..., None] * g[..., 0 * c : 1 * c]
+        + w01[..., None] * g[..., 1 * c : 2 * c]
+        + w10[..., None] * g[..., 2 * c : 3 * c]
+        + w11[..., None] * g[..., 3 * c : 4 * c]
     )
 
 

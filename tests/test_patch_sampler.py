@@ -6,8 +6,10 @@ import numpy as np
 
 from deepinteraction_tpu.utils.geometry import (
     build_patch_table,
+    build_patch_table_flat,
     grid_sample_2d_views,
     grid_sample_2d_views_patch,
+    grid_sample_2d_views_patch_flat,
 )
 
 
@@ -24,6 +26,10 @@ def test_patch_sampler_matches_views_sampler():
     table = build_patch_table(feats)
     out = grid_sample_2d_views_patch(table, (v, h, w), grid, vidx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    flat = grid_sample_2d_views_patch_flat(
+        build_patch_table_flat(feats), (v, h, w), grid, vidx
+    )
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(ref), atol=1e-6)
 
 
 def test_patch_sampler_exact_corners():

@@ -30,7 +30,7 @@ from ..configs import MMRIEncoderConfig
 from ..ops.deform_attn import MSDeformableAttention
 from ..utils.geometry import grid_sample_2d, transform_points
 from .layers import TorchMHA
-from .mmri_encoder import BEVWarp, MMRI_I2P
+from .mmri_encoder import BEVWarp, MMRI_I2P, bevwarp_grid
 
 
 def sine_pos_2d(h: int, w: int, num_feats: int, temperature: float = 10000.0):
@@ -79,7 +79,7 @@ class MMRI_P2I_PP(nn.Module):
     input_shape: Tuple[int, int]
 
     @nn.compact
-    def __call__(self, img_map, pts_map, batch, train: bool = False):
+    def __call__(self, img_map, pts_map, batch, train: bool = False, warp_grid=None):
         # img_map [B, V, h, w, C]; pts_map [B, Hb, Wb, C]
         b, v, h, w, c = img_map.shape
         warped = BEVWarp(self.pc_range, name="warp")(
@@ -93,6 +93,7 @@ class MMRI_P2I_PP(nn.Module):
             batch["lidar_aug_inv"],
             self.input_shape,
             train,
+            grid=warp_grid,
         )  # [B, V, h, w, C]
         q = img_map.reshape(b * v, h * w, c)
         val = warped.reshape(b * v, h * w, c)
@@ -241,7 +242,9 @@ class FusionLayerImg(nn.Module):
     input_shape: Tuple[int, int]
 
     @nn.compact
-    def __call__(self, img_map, pts_map, ms_tokens, ref, shapes, batch, train):
+    def __call__(
+        self, img_map, pts_map, ms_tokens, ref, shapes, batch, train, warp_grid=None
+    ):
         cfg = self.cfg
         c = cfg.hidden_channel
         b, v, h, w, _ = img_map.shape
@@ -252,7 +255,7 @@ class FusionLayerImg(nn.Module):
         self_feat = q
         q = nn.LayerNorm(name="norm0")(q)
         q = MMRI_P2I_PP(cfg, self.pc_range, self.input_shape, name="p2i")(
-            q.reshape(b, v, h, w, c), pts_map, batch, train
+            q.reshape(b, v, h, w, c), pts_map, batch, train, warp_grid=warp_grid
         ).reshape(b * v, h * w, c)
         q = nn.LayerNorm(name="norm1")(q)
         q = TransFFN(c, 4 * c, cfg.dropout, name="ffn0")(q, train)
@@ -372,11 +375,28 @@ class FusionTransformerPP(nn.Module):
         hb, wb = pts_shapes[0]
         ref_pts = ref_points(hb, wb, b, cfg.num_levels)
 
+        # BEVWarp geometry depends only on points/calibration — compute
+        # once at level-0 resolution and reuse in every image layer
+        warp_grid = bevwarp_grid(
+            batch["points"],
+            batch["points_mask"],
+            batch["lidar2img"],
+            batch["img2lidar"],
+            batch["lidar_aug"],
+            batch["lidar_aug_inv"],
+            img_shapes[0],
+            self.input_shape,
+            self.pc_range,
+        )
+
         new_img, new_pts = ms_img[0], ms_pts[0]
         for i in range(cfg.num_layers):
             tmp_img = FusionLayerImg(
                 cfg, self.pc_range, self.input_shape, name=f"img_layer{i}"
-            )(new_img, new_pts, img_tokens, ref_img, img_shapes, batch, train)
+            )(
+                new_img, new_pts, img_tokens, ref_img, img_shapes, batch, train,
+                warp_grid=warp_grid,
+            )
             tmp_pts = FusionLayerPts(
                 cfg, self.pc_range, self.input_shape, name=f"pts_layer{i}"
             )(new_pts, new_img, pts_tokens, ref_pts, pts_shapes, batch, train)

@@ -231,11 +231,97 @@ class MMRI_I2P(nn.Module):
         return jax.vmap(scatter)(out, pillar_coords, has_key)
 
 
+def bevwarp_grid(
+    points,  # [B, N, D]
+    points_mask,  # [B, N]
+    lidar2img,  # [B, V, 4, 4]
+    img2lidar,  # [B, V, 4, 4]
+    lidar_aug,  # [B, 4, 4]
+    lidar_aug_inv,  # [B, 4, 4]
+    feat_shape: Tuple[int, int],  # (hc, wc) of the camera FEATURE map
+    input_shape: Tuple[int, int],  # (ih, iw) padded camera image
+    pc_range,
+):
+    """The geometry half of BEVWarp: per-view densified depth maps
+    back-projected to BEV sampling coordinates.
+
+    Depends only on the raw points and calibration — NOT on the evolving
+    feature maps — so encoders with multiple interaction layers compute it
+    ONCE and reuse it (the depth scatter + ip_basic fill cost ~15 ms/layer
+    on v5e, and XLA does not CSE it across layers through the depth-fill
+    while loops).
+
+    Returns (uv [B, V, hc, wc, 2] normalized BEV coords, ok [B, V, hc, wc]).
+    """
+    hc, wc = feat_shape
+    ih, iw = input_shape
+    pcr = jnp.asarray(pc_range)
+
+    def per_sample(pts, pmask, l2i, i2l, aug, aug_inv):
+        raw = transform_points(aug_inv, pts[:, :3])
+        hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
+
+        def depth_map(mat):
+            cam = hom @ mat.T
+            eps = 1e-5
+            depth = cam[:, 2]
+            xy = cam[:, :2] / jnp.maximum(depth[:, None], eps)
+            gx = (xy[:, 0] / iw - 0.5) * 2.0
+            gy = (xy[:, 1] / ih - 0.5) * 2.0
+            ok = (
+                (depth > eps) & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1) & pmask
+            )
+            fx = jnp.floor(xy[:, 0] / iw * wc).astype(jnp.int32)
+            fy = jnp.floor(xy[:, 1] / ih * hc).astype(jnp.int32)
+            fx = jnp.where(ok, fx, 0)
+            fy = jnp.where(ok, fy, hc)  # dropped row
+            dm = jnp.full((hc + 1, wc), jnp.inf, jnp.float32)
+            # closest-depth-wins (deterministic; see module docstring)
+            dm = dm.at[fy, fx].min(jnp.where(ok, depth, jnp.inf))
+            dm = dm[:hc]
+            return jnp.where(jnp.isfinite(dm), dm, 0.0)
+
+        dms = jax.vmap(depth_map)(l2i)  # [V, hc, wc]
+        dms = fill_in_multiscale(dms)
+
+        # back-project every feature pixel to LiDAR frame
+        xs = jnp.linspace(0.0, iw - 1.0, wc)
+        ys = jnp.linspace(0.0, ih - 1.0, hc)
+        gx, gy = jnp.meshgrid(xs, ys)  # [hc, wc]
+
+        def lift(mat, dm):
+            x = gx * dm
+            y = gy * dm
+            ones = jnp.ones_like(dm)
+            xyd = jnp.stack([x, y, dm, ones], -1)  # [hc, wc, 4]
+            pts3 = xyd @ mat.T  # img2lidar
+            return pts3[..., :3]
+
+        xyz = jax.vmap(lift)(i2l, dms)  # [V, hc, wc, 3]
+        xyz = transform_points(aug, xyz)  # redo augmentation
+        ok = (
+            (xyz[..., 0] > pcr[0])
+            & (xyz[..., 1] > pcr[1])
+            & (xyz[..., 2] > pcr[2])
+            & (xyz[..., 0] < pcr[3])
+            & (xyz[..., 1] < pcr[4])
+            & (xyz[..., 2] < pcr[5])
+        )
+        uv = (xyz[..., :2] - pcr[:2]) / (pcr[3:5] - pcr[:2])
+        uv = (uv - 0.5) * 2.0
+        return uv, ok
+
+    return jax.vmap(per_sample)(
+        points, points_mask, lidar2img, img2lidar, lidar_aug, lidar_aug_inv
+    )
+
+
 class BEVWarp(nn.Module):
     """Points-to-image warping (reference encoder_utils.py:137-199):
     project every raw LiDAR point into each view, densify the sparse depth
     map on device, back-project all pixels to BEV, bilinear-sample the LiDAR
-    features."""
+    features. The geometry half lives in :func:`bevwarp_grid`; pass a
+    precomputed ``grid`` to share it across layers."""
 
     pc_range: Tuple[float, ...]
 
@@ -252,69 +338,21 @@ class BEVWarp(nn.Module):
         lidar_aug_inv,  # [B, 4, 4]
         input_shape: Tuple[int, int],
         train: bool = False,
+        grid=None,  # optional precomputed (uv, ok) from bevwarp_grid
     ):
         b, v, hc, wc, c = img_feats.shape
-        ih, iw = input_shape
-        pcr = jnp.asarray(self.pc_range)
-
-        def per_sample(lfeat, pts, pmask, l2i, i2l, aug, aug_inv):
-            raw = transform_points(aug_inv, pts[:, :3])
-            hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
-
-            def depth_map(mat):
-                cam = hom @ mat.T
-                eps = 1e-5
-                depth = cam[:, 2]
-                xy = cam[:, :2] / jnp.maximum(depth[:, None], eps)
-                gx = (xy[:, 0] / iw - 0.5) * 2.0
-                gy = (xy[:, 1] / ih - 0.5) * 2.0
-                ok = (
-                    (depth > eps) & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1) & pmask
-                )
-                fx = jnp.floor(xy[:, 0] / iw * wc).astype(jnp.int32)
-                fy = jnp.floor(xy[:, 1] / ih * hc).astype(jnp.int32)
-                fx = jnp.where(ok, fx, 0)
-                fy = jnp.where(ok, fy, hc)  # dropped row
-                dm = jnp.full((hc + 1, wc), jnp.inf, jnp.float32)
-                # closest-depth-wins (deterministic; see module docstring)
-                dm = dm.at[fy, fx].min(jnp.where(ok, depth, jnp.inf))
-                dm = dm[:hc]
-                return jnp.where(jnp.isfinite(dm), dm, 0.0)
-
-            dms = jax.vmap(depth_map)(l2i)  # [V, hc, wc]
-            dms = fill_in_multiscale(dms)
-
-            # back-project every feature pixel to LiDAR frame
-            xs = jnp.linspace(0.0, iw - 1.0, wc)
-            ys = jnp.linspace(0.0, ih - 1.0, hc)
-            gx, gy = jnp.meshgrid(xs, ys)  # [hc, wc]
-
-            def lift(mat, dm):
-                x = gx * dm
-                y = gy * dm
-                ones = jnp.ones_like(dm)
-                xyd = jnp.stack([x, y, dm, ones], -1)  # [hc, wc, 4]
-                pts3 = xyd @ mat.T  # img2lidar
-                return pts3[..., :3]
-
-            xyz = jax.vmap(lift)(i2l, dms)  # [V, hc, wc, 3]
-            xyz = transform_points(aug, xyz)  # redo augmentation
-            ok = (
-                (xyz[..., 0] > pcr[0])
-                & (xyz[..., 1] > pcr[1])
-                & (xyz[..., 2] > pcr[2])
-                & (xyz[..., 0] < pcr[3])
-                & (xyz[..., 1] < pcr[4])
-                & (xyz[..., 2] < pcr[5])
+        if grid is None:
+            grid = bevwarp_grid(
+                points, points_mask, lidar2img, img2lidar, lidar_aug,
+                lidar_aug_inv, (hc, wc), input_shape, self.pc_range,
             )
-            uv = (xyz[..., :2] - pcr[:2]) / (pcr[3:5] - pcr[:2])
-            uv = (uv - 0.5) * 2.0
-            warped = grid_sample_2d(lfeat, uv)  # [V, hc, wc, C]
-            return jnp.where(ok[..., None], warped, 0.0)
+        uv, ok = grid
 
-        return jax.vmap(per_sample)(
-            lidar_feat, points, points_mask, lidar2img, img2lidar, lidar_aug, lidar_aug_inv
-        )
+        def per_sample(lfeat, uv_s, ok_s):
+            warped = grid_sample_2d(lfeat, uv_s)  # [V, hc, wc, C]
+            return jnp.where(ok_s[..., None], warped, 0.0)
+
+        return jax.vmap(per_sample)(lidar_feat, uv, ok)
 
 
 class MMRIEncoderLayer(nn.Module):
@@ -326,7 +364,14 @@ class MMRIEncoderLayer(nn.Module):
     input_shape: Tuple[int, int]
 
     @nn.compact
-    def __call__(self, img_feat, lidar_feat, batch: Dict[str, Any], train: bool = False):
+    def __call__(
+        self,
+        img_feat,
+        lidar_feat,
+        batch: Dict[str, Any],
+        train: bool = False,
+        warp_grid=None,
+    ):
         c = self.cfg.hidden_channel
         k = self.cfg.local_attn_kernel
         b, v = img_feat.shape[0], img_feat.shape[1]
@@ -362,6 +407,7 @@ class MMRIEncoderLayer(nn.Module):
             batch["lidar_aug_inv"],
             self.input_shape,
             train,
+            grid=warp_grid,
         )
         flat = lambda x: x.reshape((b * v,) + x.shape[2:])
         p2i = LocalContextAttentionBlock(c, k, name="p2i_local")(
@@ -398,8 +444,21 @@ class MMRIEncoder(nn.Module):
         img = img.reshape((b, v) + img.shape[1:])
         pts = nn.Conv(c, (3, 3), padding=1, name="shared_conv_pts")(pts_feats)
         pts_feat_conv = pts
+        # BEVWarp geometry (depth scatter + fill + backprojection) depends
+        # only on points/calibration — compute once, reuse in every layer
+        warp_grid = bevwarp_grid(
+            batch["points"],
+            batch["points_mask"],
+            batch["lidar2img"],
+            batch["img2lidar"],
+            batch["lidar_aug"],
+            batch["lidar_aug_inv"],
+            (img.shape[2], img.shape[3]),
+            self.input_shape,
+            self.pc_range,
+        )
         for i in range(self.cfg.num_layers):
             img, pts = MMRIEncoderLayer(
                 self.cfg, self.pc_range, self.input_shape, name=f"layer{i}"
-            )(img, pts, batch, train)
+            )(img, pts, batch, train, warp_grid=warp_grid)
         return img, (pts_feat_conv, pts)

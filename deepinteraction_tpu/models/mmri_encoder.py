@@ -50,7 +50,7 @@ class LocalContextAttentionBlock(nn.Module):
         k = ConvBNReLU(self.out_channels, 1, name="k0")(source, train)
         k = ConvBNReLU(self.out_channels, 1, name="k1")(k, train)
         v = ConvBNReLU(self.out_channels, 1, name="v")(source, train)
-        return local_attention(q, k, v, self.kernel)
+        return local_attention(q, k, v, self.kernel, train=train)
 
 
 class MMRI_I2P(nn.Module):

@@ -199,7 +199,13 @@ class SparseEncoder(nn.Module):
         caps = cfg.stage_capacities
         w_init = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
 
-        stage = _Stage(coords, valid, shape, self.impl)
+        # Training uses the gather path: the banded kernel's forward
+        # residuals (bf16 feature copies + per-stage plans + padded output
+        # buffers) push the full-size fwd+bwd graph over HBM on a 16 GB
+        # chip (measured RESOURCE_EXHAUSTED; the gather train step fits at
+        # 2.1 s/step). Eval keeps the banded kernel.
+        impl = "gather" if (train and self.impl == "banded") else self.impl
+        stage = _Stage(coords, valid, shape, impl)
         feats = _SubMConvBNReLU(cfg.in_channels, cfg.base_channels, name="conv_input")(
             voxel_feats, stage, train
         )
@@ -228,7 +234,7 @@ class SparseEncoder(nn.Module):
                     momentum=BN_MOM, epsilon=BN_EPS, name=f"down{i}_bn"
                 )(feats, valid, train)
                 feats = nn.relu(feats)
-                stage = _Stage(coords, valid, cur_shape, self.impl)
+                stage = _Stage(coords, valid, cur_shape, impl)
 
         # conv_out: k (3,1,1) s (2,1,1) pad 0
         w_out = self.param(

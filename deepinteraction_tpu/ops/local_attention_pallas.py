@@ -171,10 +171,21 @@ local_attention_fused.defvjp(_fwd, _bwd)
 _USE_PALLAS = __import__("os").environ.get("DI_PALLAS_LOCATT", "1") == "1"
 
 
-def local_attention_auto(q, k, v, kernel: int):
-    """Fused Pallas kernel on TPU (measured 1.2-1.9x over the XLA
-    formulation at model sizes), XLA elsewhere (interpret mode would be
-    needlessly slow on CPU)."""
-    if _USE_PALLAS and any(d.platform == "tpu" for d in jax.devices()):
+def local_attention_auto(q, k, v, kernel: int, train: bool = False):
+    """Fused Pallas kernel on TPU for EVAL graphs (measured ~3x over the
+    XLA formulation at model sizes), XLA elsewhere.
+
+    Training graphs use the XLA formulation even on TPU: embedding this
+    kernel in the full-size fusion_base train program reproducibly crashed
+    the axon TPU worker (eval programs with the identical kernel at the
+    identical shapes run fine; bisected via DI_PALLAS_LOCATT /
+    DI_SPARSE_IMPL, PERF.md round 2). The backward was already routed
+    through the XLA oracle, so train-time numerics are unchanged.
+    """
+    if (
+        _USE_PALLAS
+        and not train
+        and any(d.platform == "tpu" for d in jax.devices())
+    ):
         return local_attention_fused(q, k, v, kernel)
     return _xla_local_attention(q, k, v, kernel)

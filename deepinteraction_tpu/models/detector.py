@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..configs import ModelConfig
-from ..ops.voxelize import hard_simple_vfe, voxelize
+from ..ops.voxelize import hard_simple_vfe, voxelize_batched
 from .decoder import Decoder
 from .fpn import FPN
 from .fusion_transformer import FusionTransformerPP
@@ -77,17 +77,14 @@ class DeepInteraction(nn.Module):
         vl = cfg.pts_voxel_layer
         max_vox = vl.max_voxels[0] if train else vl.max_voxels[1]
 
-        def vox(p, m):
-            return voxelize(
-                p,
-                m,
-                voxel_size=vl.voxel_size,
-                point_cloud_range=vl.point_cloud_range,
-                max_num_points=vl.max_num_points,
-                max_voxels=max_vox,
-            )
-
-        vo = jax.vmap(vox)(batch["points"], batch["points_mask"])
+        vo = voxelize_batched(
+            batch["points"],
+            batch["points_mask"],
+            voxel_size=vl.voxel_size,
+            point_cloud_range=vl.point_cloud_range,
+            max_num_points=vl.max_num_points,
+            max_voxels=max_vox,
+        )
         vfeats = jax.vmap(hard_simple_vfe)(vo.voxels, vo.num_points)
         vvalid = jnp.arange(max_vox)[None, :] < vo.num_voxels[:, None]
         bev = SparseEncoder(cfg.pts_middle_encoder, name="pts_middle_encoder")(
@@ -110,17 +107,14 @@ class DeepInteraction(nn.Module):
         pl = cfg.pts_pillar_layer
         max_pil = pl.max_voxels[0] if train else pl.max_voxels[1]
 
-        def pvox(p, m):
-            return voxelize(
-                p,
-                m,
-                voxel_size=pl.voxel_size,
-                point_cloud_range=pl.point_cloud_range,
-                max_num_points=pl.max_num_points,
-                max_voxels=max_pil,
-            )
-
-        po = jax.vmap(pvox)(batch["points"], batch["points_mask"])
+        po = voxelize_batched(
+            batch["points"],
+            batch["points_mask"],
+            voxel_size=pl.voxel_size,
+            point_cloud_range=pl.point_cloud_range,
+            max_num_points=pl.max_num_points,
+            max_voxels=max_pil,
+        )
         mmri_batch = dict(batch)
         mmri_batch.update(
             pillars=po.voxels,
@@ -171,17 +165,14 @@ class DeepInteraction(nn.Module):
         vl = cfg.pts_voxel_layer
         max_vox = vl.max_voxels[0] if train else vl.max_voxels[1]
 
-        def vox(p, m):
-            return voxelize(
-                p,
-                m,
-                voxel_size=vl.voxel_size,
-                point_cloud_range=vl.point_cloud_range,
-                max_num_points=vl.max_num_points,
-                max_voxels=max_vox,
-            )
-
-        vo = jax.vmap(vox)(batch["points"], batch["points_mask"])
+        vo = voxelize_batched(
+            batch["points"],
+            batch["points_mask"],
+            voxel_size=vl.voxel_size,
+            point_cloud_range=vl.point_cloud_range,
+            max_num_points=vl.max_num_points,
+            max_voxels=max_vox,
+        )
         vfeats = jax.vmap(hard_simple_vfe)(vo.voxels, vo.num_points)
         vvalid = jnp.arange(max_vox)[None, :] < vo.num_voxels[:, None]
         bev = SparseEncoder(cfg.pts_middle_encoder, name="pts_middle_encoder")(

@@ -185,25 +185,27 @@ def subm_conv(
     return SparseTensor(out, st.coords, st.valid, st.shape)
 
 
-def downsample_sites(
-    st: SparseTensor,
+def _out_shape(shape, kernel, stride, padding):
+    return tuple(
+        (shape[i] + 2 * padding[i] - kernel[i]) // stride[i] + 1 for i in range(3)
+    )
+
+
+def downsample_candidates(
+    coords: jnp.ndarray,  # [K, 3]
+    valid: jnp.ndarray,  # [K]
+    shape,
     kernel: Tuple[int, int, int],
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
-    out_capacity: int,
-):
-    """Generate the strided conv's output active set (sorted, deduped).
+) -> jnp.ndarray:
+    """[8K] candidate output linear ids (invalid = sentinel n_cells).
 
-    Output site o covers input x iff x ∈ [o*s - p, o*s - p + k - 1]; per axis
-    an input contributes to at most ceil(k/s) outputs (= 2 for k=3, s=2).
-    spconv generates exactly this site set; ours is sorted by linear id.
-    Overflow beyond ``out_capacity`` keeps smallest linear ids (documented
-    deterministic deviation; see ops/voxelize.py).
+    Output site o covers input x iff x ∈ [o*s - p, o*s - p + k - 1]; per
+    axis an input contributes to at most ceil(k/s) outputs (= 2 for k=3,
+    s=2). spconv generates exactly this site set.
     """
-    nz, ny, nx = st.shape
-    oshape = tuple(
-        (st.shape[i] + 2 * padding[i] - kernel[i]) // stride[i] + 1 for i in range(3)
-    )
+    oshape = _out_shape(shape, kernel, stride, padding)
 
     def axis_candidates(x, k, s, p, n_out):
         # candidate outputs: floor((x+p)/s) and floor((x+p)/s)-1 ... down to
@@ -216,32 +218,37 @@ def downsample_sites(
         v1 = (c1 < hi) & (c1 >= 0) & (c1 < n_out)
         return (c0, v0), (c1, v1)
 
-    zc = axis_candidates(st.coords[:, 0], kernel[0], stride[0], padding[0], oshape[0])
-    yc = axis_candidates(st.coords[:, 1], kernel[1], stride[1], padding[1], oshape[1])
-    xc = axis_candidates(st.coords[:, 2], kernel[2], stride[2], padding[2], oshape[2])
+    zc = axis_candidates(coords[:, 0], kernel[0], stride[0], padding[0], oshape[0])
+    yc = axis_candidates(coords[:, 1], kernel[1], stride[1], padding[1], oshape[1])
+    xc = axis_candidates(coords[:, 2], kernel[2], stride[2], padding[2], oshape[2])
 
     onz, ony, onx = oshape
+    sentinel = onz * ony * onx
     cand_ids = []
     for cz, vz in zc:
         for cy, vy in yc:
             for cx, vx in xc:
-                ok = vz & vy & vx & st.valid
+                ok = vz & vy & vx & valid
                 lid = (cz * ony + cy) * onx + cx
-                cand_ids.append(
-                    jnp.where(ok, lid, jnp.iinfo(jnp.int32).max)
-                )
-    all_ids = jnp.concatenate(cand_ids)  # [8K]
-    s_ids = jnp.sort(all_ids)
+                cand_ids.append(jnp.where(ok, lid, sentinel))
+    return jnp.concatenate(cand_ids)  # [8K]
+
+
+def _sites_from_sorted(s_ids, oshape, out_capacity: int):
+    """Dedupe a SORTED candidate-id array (sentinel = prod(oshape) last)
+    into (ocoords, valid_out)."""
+    onz, ony, onx = oshape
+    sentinel = onz * ony * onx
     first = jnp.concatenate(
         [jnp.array([True]), s_ids[1:] != s_ids[:-1]]
-    ) & (s_ids != jnp.iinfo(jnp.int32).max)
+    ) & (s_ids != sentinel)
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1
     keep = first & (rank < out_capacity)
-    out_ids = jnp.full((out_capacity,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    out_ids = jnp.full((out_capacity,), sentinel, jnp.int32)
     out_ids = out_ids.at[jnp.where(keep, rank, out_capacity)].set(
-        jnp.where(keep, s_ids, jnp.iinfo(jnp.int32).max), mode="drop"
+        jnp.where(keep, s_ids, sentinel), mode="drop"
     )
-    n_out = jnp.sum(first & (rank < out_capacity)).astype(jnp.int32)
+    n_out = jnp.sum(keep).astype(jnp.int32)
     valid_out = jnp.arange(out_capacity, dtype=jnp.int32) < n_out
     oz = out_ids // (ony * onx)
     oy = (out_ids // onx) % ony
@@ -250,6 +257,63 @@ def downsample_sites(
         [jnp.where(valid_out, oz, 0), jnp.where(valid_out, oy, 0), jnp.where(valid_out, ox, 0)],
         axis=1,
     ).astype(jnp.int32)
+    return ocoords, valid_out
+
+
+def downsample_sites(
+    st: SparseTensor,
+    kernel: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    out_capacity: int,
+):
+    """Generate the strided conv's output active set (sorted, deduped).
+
+    Overflow beyond ``out_capacity`` keeps smallest linear ids (documented
+    deterministic deviation; see ops/voxelize.py).
+    """
+    oshape = _out_shape(st.shape, kernel, stride, padding)
+    all_ids = downsample_candidates(
+        st.coords, st.valid, st.shape, kernel, stride, padding
+    )
+    s_ids = jax.lax.sort((all_ids,), is_stable=False)[0]
+    ocoords, valid_out = _sites_from_sorted(s_ids, oshape, out_capacity)
+    return ocoords, valid_out, oshape
+
+
+def downsample_sites_batched(
+    coords: jnp.ndarray,  # [B, K, 3]
+    valid: jnp.ndarray,  # [B, K]
+    shape,
+    kernel: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    out_capacity: int,
+):
+    """Batched site generation with ONE flat sort.
+
+    A vmapped/batched [B, N] sort lowers ~4x slower than a flat 1-D sort
+    on TPU (measured 18.8 vs 4.9 ms at 1.28M keys), so the per-row keys
+    get disjoint row offsets (row * (n_cells + 1)), the whole [B*8K]
+    array is sorted once unstably, and rows come back grouped AND sorted.
+    Requires B * (prod(oshape) + 1) < 2^31 (true for every model stage at
+    any realistic batch).
+    """
+    b = coords.shape[0]
+    oshape = _out_shape(shape, kernel, stride, padding)
+    onz, ony, onx = oshape
+    sentinel = onz * ony * onx
+    assert b * (sentinel + 1) < 2**31, "flat-sort row offsets overflow int32"
+    cands = jax.vmap(
+        lambda c, v: downsample_candidates(c, v, shape, kernel, stride, padding)
+    )(coords, valid)  # [B, 8K]
+    offs = (jnp.arange(b, dtype=jnp.int32) * (sentinel + 1))[:, None]
+    flat = (cands + offs).reshape(-1)
+    s_flat = jax.lax.sort((flat,), is_stable=False)[0]
+    s_ids = s_flat.reshape(b, -1) - offs
+    ocoords, valid_out = jax.vmap(
+        lambda s: _sites_from_sorted(s, oshape, out_capacity)
+    )(s_ids)
     return ocoords, valid_out, oshape
 
 

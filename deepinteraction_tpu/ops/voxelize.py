@@ -45,23 +45,8 @@ class VoxelizedOutput(NamedTuple):
     point_voxel_idx: jnp.ndarray
 
 
-def voxelize(
-    points: jnp.ndarray,
-    points_mask: jnp.ndarray,
-    *,
-    voxel_size,
-    point_cloud_range,
-    max_num_points: int,
-    max_voxels: int,
-) -> VoxelizedOutput:
-    """Hard-voxelize a padded point cloud.
-
-    Args:
-        points: [N, D] (x, y, z, ...) — N is a static pad size.
-        points_mask: [N] bool validity of each row.
-    """
-    n = points.shape[0]
-    d = points.shape[1]
+def _bin_points(points, points_mask, voxel_size, point_cloud_range):
+    """Per-point voxel indices + validity + linear id (sentinel = n_cells)."""
     vx, vy, vz = voxel_size
     x0, y0, z0, x1, y1, z1 = point_cloud_range
     nx = int(round((x1 - x0) / vx))
@@ -75,14 +60,38 @@ def voxelize(
         (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
     )
     valid = in_range & points_mask
+    lin = jnp.where(valid, (iz * ny + iy) * nx + ix, nx * ny * nz)
+    return lin, valid, jnp.stack([iz, iy, ix], axis=-1), nx * ny * nz
 
-    # linear id; invalid points get a sentinel that sorts last
-    lin = (iz * ny + iy) * nx + ix
-    sentinel = jnp.int64(nx) * ny * nz if (nx * ny * nz) < 2**31 else None
-    lin = jnp.where(valid, lin, nx * ny * nz)
-    del sentinel
 
-    order = jnp.argsort(lin, stable=True)  # ties keep point order (first-come)
+def voxelize(
+    points: jnp.ndarray,
+    points_mask: jnp.ndarray,
+    *,
+    voxel_size,
+    point_cloud_range,
+    max_num_points: int,
+    max_voxels: int,
+    order: jnp.ndarray | None = None,
+) -> VoxelizedOutput:
+    """Hard-voxelize a padded point cloud.
+
+    Args:
+        points: [N, D] (x, y, z, ...) — N is a static pad size.
+        points_mask: [N] bool validity of each row.
+        order: optional precomputed stable argsort of the linear ids (see
+            :func:`voxelize_batched` — a batched [B, N] sort lowers ~4x
+            slower than one flat sort on TPU).
+    """
+    n = points.shape[0]
+    d = points.shape[1]
+
+    lin, valid, izyx_stack, _ = _bin_points(
+        points, points_mask, voxel_size, point_cloud_range
+    )
+
+    if order is None:
+        order = jnp.argsort(lin, stable=True)  # ties keep point order
     lin_s = lin[order]
     valid_s = valid[order]
 
@@ -147,7 +156,7 @@ def voxelize(
     pmask = jnp.arange(max_num_points, dtype=jnp.int32)[None, :] < counts[:, None]
     voxels = jnp.where(pmask[..., None], voxels, 0.0)
 
-    izyx = jnp.stack([iz, iy, ix], axis=-1)[order]
+    izyx = izyx_stack[order]
     coords = izyx[jnp.where(slot_ok, starts, 0)]
     coords = jnp.where(slot_ok[:, None], coords, -1)
 
@@ -163,6 +172,46 @@ def voxelize(
         num_voxels=jnp.minimum(num_voxels, max_voxels).astype(jnp.int32),
         point_voxel_idx=point_voxel,
     )
+
+
+def voxelize_batched(
+    points: jnp.ndarray,  # [B, N, D]
+    points_mask: jnp.ndarray,  # [B, N]
+    *,
+    voxel_size,
+    point_cloud_range,
+    max_num_points: int,
+    max_voxels: int,
+) -> VoxelizedOutput:
+    """vmap(voxelize) with the per-sample stable argsort replaced by ONE
+    flat stable sort over row-offset keys (a batched [B, N] sort lowers
+    ~4x slower than a flat 1-D sort on TPU; same trick as
+    sparse_conv.downsample_sites_batched). Bit-identical to the vmapped
+    form: within a row, flat order == row order, so stability carries."""
+    b, n = points.shape[0], points.shape[1]
+    # n_cells is static; the array outputs of this probe call are unused
+    # and dead-code-eliminated
+    n_cells = _bin_points(points[0], points_mask[0], voxel_size, point_cloud_range)[3]
+    lin = jax.vmap(
+        lambda p, m: _bin_points(p, m, voxel_size, point_cloud_range)[0]
+    )(points, points_mask)
+    assert b * (n_cells + 1) < 2**31, "flat-sort row offsets overflow int32"
+    offs = (jnp.arange(b, dtype=jnp.int32) * (n_cells + 1))[:, None]
+    flat_order = jnp.argsort((lin + offs).reshape(-1), stable=True)
+    order = flat_order.reshape(b, n) - (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+
+    def one(p, m, o):
+        return voxelize(
+            p,
+            m,
+            voxel_size=voxel_size,
+            point_cloud_range=point_cloud_range,
+            max_num_points=max_num_points,
+            max_voxels=max_voxels,
+            order=o,
+        )
+
+    return jax.vmap(one)(points, points_mask, order)
 
 
 def hard_simple_vfe(voxels: jnp.ndarray, num_points: jnp.ndarray) -> jnp.ndarray:

@@ -101,6 +101,31 @@ def dense_index_map3(st: SparseTensor) -> jnp.ndarray:
     return jnp.stack([mm[:-2], mm[1:-1], mm[2:]], axis=1)
 
 
+# grids with at most this many cells widen the dense map to 9-wide
+# (y,x)-neighborhood rows: one gather per dz instead of nine element
+# gathers; the 9x map build (36 B/cell) is cheap below this size
+_M9_CELL_LIMIT = int(os.environ.get("DI_NBR_M9_LIMIT", str(12_000_000)))
+
+
+def dense_index_map9(st: SparseTensor) -> jnp.ndarray:
+    """(y,x)-widened dense map: m9[t] = map[t + dy*nx + dx] for
+    (dy, dx) ∈ {-1,0,1}² (row-major), [N, 9]. See dense_index_map3 for
+    the gather-cost rationale; used for the downsampled stages where the
+    9x map fits comfortably (_M9_CELL_LIMIT)."""
+    _, ny, nx = st.shape
+    dmap = dense_index_map(st)
+    k = st.coords.shape[0]
+    pad = nx + 1
+    mm = jnp.pad(dmap, (pad, pad), constant_values=k)
+    n = dmap.shape[0]
+    cols = [
+        mm[pad + dy * nx + dx : pad + dy * nx + dx + n]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ]
+    return jnp.stack(cols, axis=1)
+
+
 def subm_neighbor_table(
     st: SparseTensor, kernel=(3, 3, 3), dense_map: jnp.ndarray | None = None
 ) -> jnp.ndarray:
@@ -109,12 +134,29 @@ def subm_neighbor_table(
     Tap d of output site i reads input site at coords[i] + d - kernel//2,
     matching spconv SubMConv3d (same active set in and out). For 3x3x3
     kernels the taps are fetched 3-at-a-time from the x-widened map
-    (``dense_index_map3``); other kernels use per-tap element gathers.
+    (``dense_index_map3``) — or 9-at-a-time from the (y,x)-widened map on
+    small grids; other kernels use per-tap element gathers.
     """
     nz, ny, nx = st.shape
     k = st.coords.shape[0]
     n = nz * ny * nx
     if tuple(kernel) == (3, 3, 3) and dense_map is None and _USE_M3:
+        if n <= _M9_CELL_LIMIT:
+            m9 = dense_index_map9(st)
+            tables = []
+            for dz in (-1, 0, 1):
+                tz = st.coords[:, 0] + dz
+                base = (tz * ny + st.coords[:, 1]) * nx + st.coords[:, 2]
+                rows = m9[jnp.clip(base, 0, n - 1)]  # [K, 9]
+                zok = (tz >= 0) & (tz < nz) & st.valid
+                for i, (dy, dx) in enumerate(
+                    [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
+                ):
+                    ty = st.coords[:, 1] + dy
+                    tx = st.coords[:, 2] + dx
+                    inb = zok & (ty >= 0) & (ty < ny) & (tx >= 0) & (tx < nx)
+                    tables.append(jnp.where(inb, rows[:, i], k))
+            return jnp.stack(tables, axis=1).astype(jnp.int32)
         m3 = dense_index_map3(st)
         tables = []
         for dz in (-1, 0, 1):
@@ -331,6 +373,23 @@ def strided_neighbor_table(
     k = in_st.coords.shape[0]
     n = nz * ny * nx
     if tuple(kernel) == (3, 3, 3) and dense_map is None and _USE_M3:
+        if n <= _M9_CELL_LIMIT:
+            m9 = dense_index_map9(in_st)
+            tables = []
+            for dz in range(3):
+                tz = out_coords[:, 0] * stride[0] - padding[0] + dz
+                cy = out_coords[:, 1] * stride[1] - padding[1] + 1
+                cx = out_coords[:, 2] * stride[2] - padding[2] + 1
+                base = (tz * ny + cy) * nx + cx
+                rows = m9[jnp.clip(base, 0, n - 1)]  # [Ko, 9]
+                zok = ((tz >= 0) & (tz < nz)) & out_valid
+                for i in range(9):
+                    dy, dx = i // 3, i % 3
+                    ty = out_coords[:, 1] * stride[1] - padding[1] + dy
+                    tx = out_coords[:, 2] * stride[2] - padding[2] + dx
+                    inb = zok & (ty >= 0) & (ty < ny) & (tx >= 0) & (tx < nx)
+                    tables.append(jnp.where(inb, rows[:, i], k))
+            return jnp.stack(tables, axis=1).astype(jnp.int32)
         # fetch each (dz, dy) group's three x-taps as one 3-wide row
         # gather from the x-widened map (see dense_index_map3)
         m3 = dense_index_map3(in_st)

@@ -217,3 +217,35 @@ def test_s2d_impl_matches_gather():
     # bf16 compute stays within half-precision tolerance
     out16 = sc.subm_conv_s2d(st, w, compute_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(out16), np.asarray(ref), atol=0.15, rtol=0.05)
+
+
+def test_neighbor_tables_m3_vs_m9_vs_element(monkeypatch):
+    """All three dense-map widths produce identical neighbor tables."""
+    import deepinteraction_tpu.ops.sparse_conv as sc_mod
+
+    rng = np.random.default_rng(3)
+    st = _make_sparse(rng, (5, 12, 11), 140, 4, 160)
+
+    monkeypatch.setattr(sc_mod, "_M9_CELL_LIMIT", 10**9)
+    t9 = np.asarray(sc_mod.subm_neighbor_table(st))
+    monkeypatch.setattr(sc_mod, "_M9_CELL_LIMIT", 0)
+    t3 = np.asarray(sc_mod.subm_neighbor_table(st))
+    monkeypatch.setattr(sc_mod, "_USE_M3", False)
+    te = np.asarray(sc_mod.subm_neighbor_table(st))
+    assert (t9 == te).all()
+    assert (t3 == te).all()
+
+    oc, ov, _ = sc_mod.downsample_sites(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), 120)
+    se = np.asarray(
+        sc_mod.strided_neighbor_table(st, oc, ov, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    )
+    monkeypatch.setattr(sc_mod, "_USE_M3", True)
+    s3 = np.asarray(
+        sc_mod.strided_neighbor_table(st, oc, ov, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    )
+    monkeypatch.setattr(sc_mod, "_M9_CELL_LIMIT", 10**9)
+    s9 = np.asarray(
+        sc_mod.strided_neighbor_table(st, oc, ov, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    )
+    assert (s3 == se).all()
+    assert (s9 == se).all()

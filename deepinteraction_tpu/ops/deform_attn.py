@@ -82,7 +82,10 @@ class MSDeformableAttention(nn.Module):
                 # heads act as "views" of a FLAT 2x2-patch table: all 4
                 # bilinear taps of a (query, head, point) arrive in one
                 # [4*hd]-lane row gather — measured 3.7x faster than
-                # per-head 4-tap gathers at hd=16 (PERF.md round 2)
+                # per-head 4-tap gathers at hd=16 (PERF.md round 2).
+                # (Flattening (h, p) into the gather row dim to improve
+                # the output layout measured NEGATIVE: the reshape after
+                # the gather costs more than the tile padding it saves.)
                 table = build_patch_table_flat(jnp.transpose(vb, (2, 0, 1, 3)))
                 hidx = jnp.broadcast_to(
                     jnp.arange(h, dtype=jnp.int32)[None, :, None], gb.shape[:-1]

@@ -142,7 +142,8 @@ class _RCNNCore(nn.Module):
         y = DynamicConv(self.hidden, self.hidden, name="dyconv")(q, roi_feats)
         q = nn.LayerNorm(name="norm2")(q + y)
         y = nn.Dense(self.hidden * 4, name="linear1")(q)
-        y = nn.Dense(self.hidden, name="linear2")(nn.gelu(y))
+        # exact erf GELU (torch F.gelu default; decoder_utils.py:60)
+        y = nn.Dense(self.hidden, name="linear2")(nn.gelu(y, approximate=False))
         return nn.LayerNorm(name="norm3")(q + y)
 
 

@@ -206,12 +206,10 @@ class PolarI2P(nn.Module):
                 # normalize by the metric span r1-r0 (== r * rstep), not the
                 # bin count r — they only coincide when rstep == 1
                 rn = jnp.clip(2.0 * (radius - r0) / (r1 - r0) - 1.0, -1.0, 1.0)
-                # z-mean over IN-VIEW bins only: out-of-view bins would bias
-                # the sampling location toward clipped coordinates
-                okf = ok.astype(jnp.float32)[..., None]
-                loc = jnp.sum(jnp.stack([gxn, rn], -1) * okf, axis=2) / jnp.maximum(
-                    jnp.sum(okf, axis=2), 1.0
-                )  # [hb, wb, 2]
+                # plain mean over ALL z bins, including out-of-view ones —
+                # reference parity (fusion_transformerv4.py:627 `.mean(dim=3)`
+                # with no mask); visibility only gates the final splat
+                loc = jnp.mean(jnp.stack([gxn, rn], -1), axis=2)  # [hb, wb, 2]
                 vis = jnp.sum(ok, axis=2) > 0  # [hb, wb]
                 sampled = grid_sample_2d(bev_out, loc)  # [hb, wb, C]
                 return jnp.where(vis[..., None], sampled, 0.0), vis

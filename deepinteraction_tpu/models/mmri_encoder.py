@@ -32,7 +32,13 @@ from flax import linen as nn
 from ..configs import MMRIEncoderConfig
 from ..ops.depth_fill import fill_in_multiscale
 from ..ops.local_attention_pallas import local_attention_auto as local_attention
-from ..utils.geometry import grid_sample_2d, grid_sample_2d_views, transform_points
+from ..utils.geometry import (
+    grid_sample_2d,
+    grid_sample_2d_nearest,
+    grid_sample_2d_views,
+    grid_sample_2d_views_nearest,
+    transform_points,
+)
 from .layers import ConvBNReLU
 
 
@@ -81,6 +87,10 @@ class MMRI_I2P(nn.Module):
     # best views computes 40 keys instead of 120 with identical attention
     # over the same valid-key set. 0 disables (reference-shaped 120 keys).
     n_views: int = int(os.environ.get("DI_I2P_VIEWS", "2"))
+    # eval-time sampling mode: "bilinear" (reference parity, 4 row gathers
+    # per key) or "nearest" (1 gather per key — quality-gated deviation,
+    # see docs/DESIGN.md + PERF.md round 3). Training always bilinear.
+    sample_mode: str = os.environ.get("DI_I2P_SAMPLE", "bilinear")
 
     @nn.compact
     def __call__(
@@ -165,10 +175,20 @@ class MMRI_I2P(nn.Module):
                         okr.transpose(1, 0, 2), vsel[:, :, None], axis=1
                     ).reshape(chunk, nv * p)
                     vidx = jnp.broadcast_to(vsel[:, :, None], (chunk, nv, p))
-                    sampled = grid_sample_2d_views(ifeat, gsel, vidx)
+                    sampler_v = (
+                        grid_sample_2d_views_nearest
+                        if (self.sample_mode == "nearest" and not train)
+                        else grid_sample_2d_views
+                    )
+                    sampled = sampler_v(ifeat, gsel, vidx)
                     keys = sampled.reshape(chunk, nv * p, c).astype(cdt)
                 else:
-                    sampled = jax.vmap(grid_sample_2d)(ifeat, grids)
+                    sampler = (
+                        grid_sample_2d_nearest
+                        if (self.sample_mode == "nearest" and not train)
+                        else grid_sample_2d
+                    )
+                    sampled = jax.vmap(sampler)(ifeat, grids)
                     keys = sampled.reshape(v, chunk, p, c).transpose(1, 2, 0, 3)
                     kmask = oks.reshape(v, chunk, p).transpose(1, 2, 0)
                     kmask = (kmask & pt_ok[:, :, None]).reshape(chunk, p * v)

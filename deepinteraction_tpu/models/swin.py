@@ -125,7 +125,10 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(x, train)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(4 * c, name="fc1")(y)
-        y = nn.Dropout(self.drop_rate, deterministic=not train)(nn.gelu(y))
+        # exact erf GELU: torch nn.GELU default (jax defaults to tanh approx)
+        y = nn.Dropout(self.drop_rate, deterministic=not train)(
+            nn.gelu(y, approximate=False)
+        )
         y = nn.Dense(c, name="fc2")(y)
         y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
         return x + DropPath(self.drop_path_rate, name="drop_path2")(y, train)

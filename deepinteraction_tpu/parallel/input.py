@@ -83,31 +83,41 @@ def local_mesh(data: Optional[int] = None, model: int = 1) -> Mesh:
 
 def gather_results(
     items: List[Any],
-    tmpdir: str,
+    tmpdir: str = "",
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
 ) -> Optional[List[Any]]:
-    """File-based cross-process gather (mmcv ``collect_results_cpu`` shape).
+    """Cross-process result gather over the ICI/DCN collectives.
 
-    Every process writes its ``items`` to ``tmpdir/part_<pid>.pkl``; after a
-    global device barrier, process 0 returns the concatenation in process
-    order and every other process returns None. Single-process: returns
-    ``items`` without touching the filesystem.
+    The reference's mmcv ``collect_results_cpu`` (tools/test.py:221-226)
+    writes ``part_<rank>.pkl`` files to a shared tmpdir — an assumption that
+    silently breaks on multi-host TPU slices, where hosts do NOT share a
+    filesystem, and can merge STALE part files left by a previous run
+    (ADVICE r2 #2). Here each process pickles its ``items`` and the bytes
+    ride ``multihost_utils.process_allgather`` (length-allgather, pad to the
+    global max, allgather the padded payloads) — no filesystem involved.
+
+    Process 0 returns the concatenation in process order; every other
+    process returns None (mmcv contract). Single-process returns ``items``
+    directly. ``tmpdir`` is retained for API compatibility and ignored.
     """
+    del tmpdir  # no filesystem involvement; kept for call-site compat
     pid = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     if pc == 1:
         return items
-    os.makedirs(tmpdir, exist_ok=True)
-    with open(os.path.join(tmpdir, f"part_{pid}.pkl"), "wb") as f:
-        pickle.dump(items, f)
     from jax.experimental import multihost_utils
 
-    multihost_utils.sync_global_devices("gather_results")
+    payload = np.frombuffer(pickle.dumps(items), dtype=np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64)
+    ).reshape(-1)
+    padded = np.zeros((int(lengths.max()),), np.uint8)
+    padded[: payload.size] = payload
+    parts = multihost_utils.process_allgather(padded)  # [pc, max_len]
     if pid != 0:
         return None
     merged: List[Any] = []
     for k in range(pc):
-        with open(os.path.join(tmpdir, f"part_{k}.pkl"), "rb") as f:
-            merged.extend(pickle.load(f))
+        merged.extend(pickle.loads(parts[k, : int(lengths[k])].tobytes()))
     return merged

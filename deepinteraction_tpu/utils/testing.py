@@ -15,6 +15,43 @@ import numpy as np
 from ..configs import Config
 
 
+def fast_init_variables(model, batch, seed: int = 0):
+    """Variables with init-like statistics WITHOUT compiling ``model.init``.
+
+    ``jax.eval_shape`` traces the init (no compile, no device work), then each
+    leaf is filled host-side by name heuristics: norm scales / running vars
+    get ones, biases / running means get zeros, everything else small
+    Gaussian fan-in-ish noise. Used by the driver dry-run and benchmarks
+    where exact init values don't matter but a full ``model.init`` compile
+    (55 s on TPU, minutes on the throttled CPU host — CLAUDE.md) does.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch, False)
+    )
+    rng = np.random.default_rng(seed)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def fill(path, leaf):
+        name = str(path[-1]).lower()
+        if "scale" in name or "var" in name:
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if "bias" in name or "mean" in name:
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        fan_in = int(np.prod(leaf.shape[:-1])) if leaf.ndim >= 2 else 1
+        std = 1.0 / max(1.0, float(fan_in)) ** 0.5
+        return jnp.asarray(
+            rng.normal(scale=std, size=leaf.shape).astype(np.float32),
+            dtype=leaf.dtype,
+        )
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [fill(p, l) for p, l in flat]
+    )
+
+
 def make_synthetic_batch(
     cfg: Config, b: int = 1, seed: int = 0, with_gt: bool = False
 ) -> Dict[str, np.ndarray]:

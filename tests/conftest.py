@@ -7,13 +7,25 @@ registered — jax.config.update after import is authoritative.
 """
 
 import os
+import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# In-process CPU collectives abort the process when straggler virtual-device
+# threads miss a rendezvous by 40 s — routine when 8 device threads share one
+# throttled core. Values MUST match __graft_entry__._CPU_COLLECTIVE_TIMEOUT_FLAGS:
+# they are part of the compilation-cache key, and matching lets driver dry
+# runs hit the cache entries compiled by test runs.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from __graft_entry__ import _CPU_COLLECTIVE_TIMEOUT_FLAGS  # noqa: E402
+
+for f in _CPU_COLLECTIVE_TIMEOUT_FLAGS:
+    if f.split("=")[0] not in flags:
+        flags += " " + f
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

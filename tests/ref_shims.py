@@ -71,12 +71,15 @@ class TransFFN(nn.Module):
     drop, residual add."""
 
     def __init__(self, embed_dims=256, feedforward_channels=1024, num_fcs=2,
-                 ffn_drop=0.0, add_identity=True, **kwargs):
+                 ffn_drop=0.0, add_identity=True, act_cfg=None, **kwargs):
         super().__init__()
+        act = {"ReLU": nn.ReLU, "GELU": nn.GELU}[
+            (act_cfg or {"type": "ReLU"}).get("type", "ReLU")
+        ]
         layers = []
         c = embed_dims
         for _ in range(num_fcs - 1):
-            layers += [nn.Linear(c, feedforward_channels), nn.ReLU(inplace=True),
+            layers += [nn.Linear(c, feedforward_channels), act(),
                        nn.Dropout(ffn_drop)]
             c = feedforward_channels
         layers += [nn.Linear(c, embed_dims), nn.Dropout(ffn_drop)]
@@ -95,6 +98,75 @@ def kaiming_init(module, **kwargs):
         nn.init.kaiming_normal_(module.weight)
 
 
+def build_norm_layer(cfg, num_features, postfix=""):
+    t = (cfg or {"type": "LN"}).get("type", "LN")
+    cls = {"LN": nn.LayerNorm, "BN": nn.BatchNorm2d, "BN1d": nn.BatchNorm1d}[t]
+    return f"{t.lower()}{postfix}", cls(num_features)
+
+
+class DropPath(nn.Module):
+    """mmcv bricks DropPath (eval = identity; train drops whole samples)."""
+
+    def __init__(self, drop_prob=0.0):
+        super().__init__()
+        self.drop_prob = drop_prob
+
+    def forward(self, x):
+        if self.drop_prob == 0.0 or not self.training:
+            return x
+        keep = 1.0 - self.drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = x.new_empty(shape).bernoulli_(keep)
+        return x * mask / keep
+
+
+def build_dropout(cfg):
+    if cfg is None:
+        return nn.Identity()
+    t = cfg.get("type", "Dropout")
+    if t == "DropPath":
+        return DropPath(cfg.get("drop_prob", 0.0))
+    return nn.Dropout(cfg.get("drop_prob", 0.0))
+
+
+class BaseModule(nn.Module):
+    def __init__(self, init_cfg=None):
+        super().__init__()
+        self.init_cfg = init_cfg
+
+    def init_weights(self):
+        pass
+
+
+def to_2tuple(x):
+    return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+
+def _unfold_similar_forward(x_ori, x_loc, kH, kW):
+    """CPU oracle for the reference CUDA ``similar_forward``
+    (models/utils/ops/locatt_ops): logits of each pixel's query against its
+    kH x kW zero-padded neighborhood — [B, H, W, kH*kW]."""
+    import torch.nn.functional as F
+
+    b, c, h, w = x_ori.shape
+    unf = F.unfold(x_loc, (kH, kW), padding=(kH // 2, kW // 2))
+    unf = unf.view(b, c, kH * kW, h * w)
+    out = (x_ori.view(b, c, 1, h * w) * unf).sum(1)  # [B, K, H*W]
+    return out.permute(0, 2, 1).reshape(b, h, w, kH * kW)
+
+
+def _unfold_weighting_forward(x_ori, x_weight, kH, kW):
+    """CPU oracle for ``weighting_forward``: weighted sum of each pixel's
+    zero-padded value neighborhood — [B, C, H, W]."""
+    import torch.nn.functional as F
+
+    b, c, h, w = x_ori.shape
+    unf = F.unfold(x_ori, (kH, kW), padding=(kH // 2, kW // 2))
+    unf = unf.view(b, c, kH * kW, h * w)
+    wgt = x_weight.reshape(b, 1, h * w, kH * kW).permute(0, 1, 3, 2)
+    return (unf * wgt).sum(2).view(b, c, h, w)
+
+
 class _Registry:
     def register_module(self, *a, **k):
         def deco(cls):
@@ -103,23 +175,58 @@ class _Registry:
         return deco(a[0]) if (a and isinstance(a[0], type)) else deco
 
 
+def _identity_3d_transformation(pts, coord_type, img_meta, reverse=False):
+    """apply_3d_transformation with no recorded aug flow == identity (the
+    encoder-side golden tests feed unaugmented geometry)."""
+    return pts
+
+
 def install() -> None:
     mmcv_cnn = _mod("mmcv.cnn")
     mmcv_cnn.ConvModule = ConvModule
     mmcv_cnn.build_conv_layer = build_conv_layer
     mmcv_cnn.kaiming_init = kaiming_init
+    mmcv_cnn.build_norm_layer = build_norm_layer
+    mmcv_cnn.constant_init = lambda *a, **k: None
+    mmcv_cnn.trunc_normal_init = lambda *a, **k: None
     bricks = _mod("mmcv.cnn.bricks")
     bt = _mod("mmcv.cnn.bricks.transformer")
     bt.FFN = TransFFN
+    bt.build_dropout = build_dropout
     bricks.transformer = bt
+    wi = _mod("mmcv.cnn.utils.weight_init")
+    wi.trunc_normal_ = lambda tensor, *a, **k: tensor
+    _mod("mmcv.cnn.utils").weight_init = wi
+    mmcv_cnn.utils = sys.modules["mmcv.cnn.utils"]
     _mod("mmcv").cnn = mmcv_cnn
+
+    runner = _mod("mmcv.runner")
+    runner.BaseModule = BaseModule
+    runner.ModuleList = nn.ModuleList
+    runner._load_checkpoint = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError("shim: no checkpoints in oracle tests")
+    )
+    _mod("mmcv.runner.base_module").BaseModule = BaseModule
+    runner.base_module = sys.modules["mmcv.runner.base_module"]
+    _mod("mmcv").runner = runner
+    mmcv_utils = _mod("mmcv.utils")
+    mmcv_utils.to_2tuple = to_2tuple
+    _mod("mmcv").utils = mmcv_utils
+
+    mmdet_utils = _mod("mmdet.utils")
+    import logging
+
+    mmdet_utils.get_root_logger = lambda *a, **k: logging.getLogger("ref")
+    _mod("mmdet").utils = mmdet_utils
+    mmdet_builder = _mod("mmdet.models.builder")
+    mmdet_builder.BACKBONES = _Registry()
+    _mod("mmdet.models").builder = mmdet_builder
+    _mod("mmdet").models = sys.modules["mmdet.models"]
 
     m3d = _mod("mmdet3d")
     m3d_models = _mod("mmdet3d.models")
     m3d_fusion = _mod("mmdet3d.models.fusion_layers")
-    m3d_fusion.apply_3d_transformation = lambda *a, **k: (_ for _ in ()).throw(
-        NotImplementedError("shim: not exercised by oracle tests")
-    )
+    m3d_fusion.apply_3d_transformation = _identity_3d_transformation
     m3d_core = _mod("mmdet3d.core")
     m3d_core.LiDARInstance3DBoxes = object
     m3d.models = m3d_models
@@ -151,5 +258,78 @@ def load_reference(relpath: str, name: str):
     spec = importlib.util.spec_from_file_location(name, f"{REF}/{relpath}")
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference_encoder_utils():
+    """Load the reference encoder_utils.py with its relative imports
+    satisfied: ``.ip_basic.depth_map_utils`` is the REAL reference cv2
+    implementation; ``.ops.locatt_ops`` is the unfold-based CPU oracle for
+    the CUDA image-local-attention kernels (semantics documented at
+    models/utils/ops/locatt_ops)."""
+    install()
+    pkgname = "ref_encpkg"
+    if pkgname + ".encoder_utils" in sys.modules:
+        return sys.modules[pkgname + ".encoder_utils"]
+    pkg = _mod(pkgname)
+    pkg.__path__ = [f"{REF}/models/utils"]
+
+    ip = _mod(pkgname + ".ip_basic")
+    ip.__path__ = [f"{REF}/models/utils/ip_basic"]
+    pkg.ip_basic = ip
+    spec = importlib.util.spec_from_file_location(
+        pkgname + ".ip_basic.depth_map_utils",
+        f"{REF}/models/utils/ip_basic/depth_map_utils.py",
+    )
+    dmu = importlib.util.module_from_spec(spec)
+    # legacy alias used by the old reference code
+    import numpy as np
+
+    if not hasattr(np, "float"):
+        np.float = float
+    sys.modules[spec.name] = dmu
+    spec.loader.exec_module(dmu)
+    ip.depth_map_utils = dmu
+
+    ops = _mod(pkgname + ".ops")
+    la = types.ModuleType(pkgname + ".ops.locatt_ops")
+    la.localattention = types.SimpleNamespace(
+        similar_forward=_unfold_similar_forward,
+        weighting_forward=_unfold_weighting_forward,
+    )
+    sys.modules[la.__name__] = la
+    ops.locatt_ops = la
+    pkg.ops = ops
+
+    spec = importlib.util.spec_from_file_location(
+        pkgname + ".encoder_utils", f"{REF}/models/utils/encoder_utils.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference_swin():
+    """Load the reference swin.py with ``.swin_utils`` stubbed (only needed
+    for the full backbone's patch embed / converter, not SwinBlock)."""
+    install()
+    pkgname = "ref_swinpkg"
+    if pkgname + ".swin" in sys.modules:
+        return sys.modules[pkgname + ".swin"]
+    pkg = _mod(pkgname)
+    pkg.__path__ = [f"{REF}/models/backbones"]
+    su = types.ModuleType(pkgname + ".swin_utils")
+    su.swin_converter = None
+    su.PatchEmbed = object
+    su.PatchMerging = object
+    sys.modules[su.__name__] = su
+    pkg.swin_utils = su
+    spec = importlib.util.spec_from_file_location(
+        pkgname + ".swin", f"{REF}/models/backbones/swin.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
     spec.loader.exec_module(mod)
     return mod

@@ -110,6 +110,38 @@ def test_frozen_batch_stats_unchanged(setup):
     assert checked > 0
 
 
+def test_tiny_overfit_converges():
+    """~60 steps on ONE fixed synthetic batch must substantially reduce the
+    loss and raise matched IoU (VERDICT r2 weak #5: finiteness + freeze
+    invariants alone cannot catch a sign error in a loss term or the
+    target assignment). Reference loss semantics:
+    deepinteraction_decoder.py:484-547."""
+    n_steps = 60
+    cfg = tiny_config()  # nothing frozen: every loss term must pull
+    model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(cfg, b=1, with_gt=True, seed=5).items()
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    state = create_train_state(cfg, variables, total_steps=n_steps)
+    step_fn = jax.jit(make_train_step(cfg, model, total_steps=n_steps))
+    rng = jax.random.PRNGKey(1)
+    losses, ious = [], []
+    for _ in range(n_steps):
+        rng, key = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, key)
+        losses.append(float(metrics["loss_total"]))
+        ious.append(float(metrics["matched_ious"]))
+    assert np.isfinite(losses).all()
+    first, last = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert last < 0.7 * first, f"no convergence: {first:.3f} -> {last:.3f}"
+    assert np.mean(ious[-5:]) > np.mean(ious[:5]), (
+        f"matched IoU did not improve: {np.mean(ious[:5]):.3f} -> "
+        f"{np.mean(ious[-5:]):.3f}"
+    )
+
+
 def test_dryrun_multichip():
     import sys
 

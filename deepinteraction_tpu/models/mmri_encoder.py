@@ -277,11 +277,20 @@ def bevwarp_grid(
     ih, iw = input_shape
     pcr = jnp.asarray(pc_range)
 
+    v = lidar2img.shape[1]
+    # top-2-view scatter compaction (same geometric argument as the I2P
+    # DI_I2P_VIEWS lever): a point projects into at most two of the six
+    # frusta, so scattering only its two best views moves 2N instead of
+    # V*N indices through the min-scatter (index-rate-bound, ~7.5 ns/idx:
+    # 1.92M -> 640k indices, ~9 ms/frame at full size). 0 = exact
+    # reference-shaped per-view scatter.
+    nv_warp = int(os.environ.get("DI_WARP_VIEWS", "2"))
+
     def per_sample(pts, pmask, l2i, i2l, aug, aug_inv):
         raw = transform_points(aug_inv, pts[:, :3])
         hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
 
-        def depth_map(mat):
+        def project(mat):
             cam = hom @ mat.T
             eps = 1e-5
             depth = cam[:, 2]
@@ -293,15 +302,48 @@ def bevwarp_grid(
             )
             fx = jnp.floor(xy[:, 0] / iw * wc).astype(jnp.int32)
             fy = jnp.floor(xy[:, 1] / ih * hc).astype(jnp.int32)
-            fx = jnp.where(ok, fx, 0)
-            fy = jnp.where(ok, fy, hc)  # dropped row
-            dm = jnp.full((hc + 1, wc), jnp.inf, jnp.float32)
-            # closest-depth-wins (deterministic; see module docstring)
-            dm = dm.at[fy, fx].min(jnp.where(ok, depth, jnp.inf))
-            dm = dm[:hc]
-            return jnp.where(jnp.isfinite(dm), dm, 0.0)
+            return depth, jnp.where(ok, fx, 0), jnp.where(ok, fy, hc), ok
 
-        dms = jax.vmap(depth_map)(l2i)  # [V, hc, wc]
+        depth, fx, fy, ok = jax.vmap(project)(l2i)  # each [V, N]
+        if 0 < nv_warp < v:
+            # per point: its nv_warp best views (any ok view ranks above
+            # any not-ok one; <=2 are ever ok, so none is lost). The
+            # selection itself is one-hot masked sums over the tiny V
+            # axis — take_along_axis here would be 4 more [nv*N]-index
+            # gathers and measured as expensive as the scatter it saves.
+            iota_v = jnp.arange(v, dtype=jnp.int32)[:, None]  # [V, 1]
+            vsels = []
+            remaining = ok
+            for _ in range(nv_warp):
+                vi = jnp.argmax(remaining, axis=0).astype(jnp.int32)  # [N]
+                vsels.append(vi)
+                remaining = remaining & (iota_v != vi[None, :])
+            vsel = jnp.stack(vsels)  # [nv, N]
+            sel = iota_v[:, None, :] == vsel[None]  # [V, nv, N]
+
+            def pick(a):
+                return jnp.sum(jnp.where(sel, a[:, None, :], 0), axis=0)
+
+            d2 = pick(depth)
+            fx2 = pick(fx)
+            fy2 = pick(fy)
+            ok2 = jnp.sum(jnp.where(sel, ok[:, None, :], False), axis=0) > 0
+            rows = vsel * (hc + 1) + jnp.where(ok2, fy2, hc)
+            dm = jnp.full((v * (hc + 1), wc), jnp.inf, jnp.float32)
+            # closest-depth-wins (deterministic; see module docstring)
+            dm = dm.at[rows, jnp.where(ok2, fx2, 0)].min(
+                jnp.where(ok2, d2, jnp.inf)
+            )
+            dms = dm.reshape(v, hc + 1, wc)[:, :hc]
+        else:
+
+            def scatter_one(d, x, y, o):
+                dm = jnp.full((hc + 1, wc), jnp.inf, jnp.float32)
+                dm = dm.at[y, x].min(jnp.where(o, d, jnp.inf))
+                return dm[:hc]
+
+            dms = jax.vmap(scatter_one)(depth, fx, fy, ok)
+        dms = jnp.where(jnp.isfinite(dms), dms, 0.0)
         dms = fill_in_multiscale(dms)
 
         # back-project every feature pixel to LiDAR frame

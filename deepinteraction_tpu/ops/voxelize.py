@@ -86,14 +86,26 @@ def voxelize(
     n = points.shape[0]
     d = points.shape[1]
 
-    lin, valid, izyx_stack, _ = _bin_points(
-        points, points_mask, voxel_size, point_cloud_range
-    )
-
     if order is None:
+        lin, _, _, _ = _bin_points(
+            points, points_mask, voxel_size, point_cloud_range
+        )
         order = jnp.argsort(lin, stable=True)  # ties keep point order
-    lin_s = lin[order]
-    valid_s = valid[order]
+
+    # ONE packed row gather of [points | mask] in sorted order. TPU gathers
+    # are index-rate-bound (~7-9 ns/index regardless of row width, PERF.md),
+    # so the previous four same-index gathers (lin_s, valid_s, pts_s, izyx)
+    # cost 4x this single one; the per-point bins are recomputed on the
+    # sorted rows instead — bit-identical, floor() of the same floats.
+    packed = jnp.concatenate(
+        [points, points_mask[:, None].astype(points.dtype)], axis=1
+    )
+    packed_s = packed[order]  # [N, D+1]
+    pts_s = packed_s[:, :d]
+    mask_s = packed_s[:, d] > 0.5
+    lin_s, valid_s, izyx_s, _ = _bin_points(
+        pts_s, mask_s, voxel_size, point_cloud_range
+    )
 
     # segment starts among the sorted ids
     first = jnp.concatenate(
@@ -142,7 +154,6 @@ def voxelize(
     # P-point window table: win[i] = pts_s[i : i + P] flattened to one
     # [P*D]-wide row so each voxel costs ONE single-tile row gather
     # (a [N, P, D] layout spans 2 tiles/row and measured 6x slower)
-    pts_s = points[order]
     win = jnp.concatenate(
         [
             jnp.pad(pts_s[p:], ((0, p), (0, 0)))
@@ -156,8 +167,7 @@ def voxelize(
     pmask = jnp.arange(max_num_points, dtype=jnp.int32)[None, :] < counts[:, None]
     voxels = jnp.where(pmask[..., None], voxels, 0.0)
 
-    izyx = izyx_stack[order]
-    coords = izyx[jnp.where(slot_ok, starts, 0)]
+    coords = izyx_s[jnp.where(slot_ok, starts, 0)]
     coords = jnp.where(slot_ok[:, None], coords, -1)
 
     # map back: destination slot per ORIGINAL point index (consumed only

@@ -87,10 +87,12 @@ class MMRI_I2P(nn.Module):
     # best views computes 40 keys instead of 120 with identical attention
     # over the same valid-key set. 0 disables (reference-shaped 120 keys).
     n_views: int = int(os.environ.get("DI_I2P_VIEWS", "2"))
-    # eval-time sampling mode: "bilinear" (reference parity, 4 row gathers
-    # per key) or "nearest" (1 gather per key — quality-gated deviation,
-    # see docs/DESIGN.md + PERF.md round 3). Training always bilinear.
-    sample_mode: str = os.environ.get("DI_I2P_SAMPLE", "bilinear")
+    # eval-time sampling mode: "nearest" (default: 1 gather per key,
+    # quality-gated deviation — docs/DESIGN.md + PERF.md round 3) or
+    # "bilinear" (strict reference parity, 4 row gathers per key).
+    # "env" resolves DI_I2P_SAMPLE at trace time (tests pin bilinear via
+    # conftest). Training always samples bilinear.
+    sample_mode: str = "env"
 
     @nn.compact
     def __call__(
@@ -105,6 +107,7 @@ class MMRI_I2P(nn.Module):
         lidar_aug_inv,  # [B, 4, 4] undo train-time point augmentation
         input_shape: Tuple[int, int],  # (H, W) of the padded camera image
         train: bool = False,
+        geom=None,  # optional precomputed i2p_geometry(...) triple
     ):
         c = self.channels
         b, v = img_feats.shape[0], img_feats.shape[1]
@@ -130,15 +133,71 @@ class MMRI_I2P(nn.Module):
         def pad(x):
             return jnp.pad(x, [(0, kpad - kp)] + [(0, 0)] * (x.ndim - 1))
 
-        def per_sample(lfeat, ifeat, pil, cnt, coor, pvalid, l2i, aug_inv):
-            ifeat = ifeat.astype(cdt)
+        def attend(qh, keys, kmask):
+            kh = keys @ wk.astype(cdt) + bk.astype(cdt)
+            vh = keys @ wv.astype(cdt) + bv.astype(cdt)
+            logits = jnp.einsum(
+                "qc,qkc->qk", qh.astype(cdt), kh,
+                preferred_element_type=jnp.float32,
+            )
+            logits = jnp.where(kmask, logits, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1)
+            any_key = jnp.any(kmask, -1)
+            attn = jnp.where(any_key[:, None], attn, 0.0)
+            av = jnp.einsum(
+                "qk,qkc->qc", attn.astype(cdt), vh,
+                preferred_element_type=jnp.float32,
+            )
+            return av @ wo + bo, any_key
+
+        def queries(lfeat, coor):
             # NB: the 2x2-patch gather table (build_patch_table) measured a
             # WASH here — at C=128 the per-index gather cost scales with
             # row bytes, so 1 patch-row gather == 4 plain row gathers, and
             # the table build adds ~2 ms/layer. It wins only for
             # narrow-channel sampling (MSDA's 16-ch heads, deform_attn.py).
             q_all = lfeat[coor[:, 1], coor[:, 2]]  # [Kp, C]
-            qh_all = (q_all @ wq + bq) * (1.0 / jnp.sqrt(jnp.float32(c)))
+            return (q_all @ wq + bq) * (1.0 / jnp.sqrt(jnp.float32(c)))
+
+        nv = self.n_views
+        mode = (
+            os.environ.get("DI_I2P_SAMPLE", "nearest")
+            if self.sample_mode == "env"
+            else self.sample_mode
+        )
+        sampler_v = (
+            grid_sample_2d_views_nearest
+            if (mode == "nearest" and not train)
+            else grid_sample_2d_views
+        )
+
+        def per_sample_geom(lfeat, ifeat, coor, gsel_a, vidx_a, kmask_a):
+            # hoisted-geometry path: projection/view-selection computed
+            # ONCE per forward by i2p_geometry() and shared by every
+            # interaction layer; chunks only sample + attend
+            ifeat = ifeat.astype(cdt)
+            qh_all = queries(lfeat, coor)
+
+            def chunk_fn(args):
+                qh, gsel, vidx, kmask = args
+                sampled = sampler_v(ifeat, gsel, vidx)
+                keys = sampled.reshape(chunk, nv * p, c).astype(cdt)
+                return attend(qh, keys, kmask)
+
+            outs, any_key = jax.lax.map(
+                jax.checkpoint(chunk_fn),
+                (
+                    pad(qh_all).reshape(n_chunks, chunk, c),
+                    pad(gsel_a).reshape(n_chunks, chunk, nv, p, 2),
+                    pad(vidx_a).reshape(n_chunks, chunk, nv, p),
+                    pad(kmask_a).reshape(n_chunks, chunk, nv * p),
+                ),
+            )
+            return outs.reshape(kpad, c)[:kp], any_key.reshape(kpad)[:kp]
+
+        def per_sample(lfeat, ifeat, pil, cnt, coor, pvalid, l2i, aug_inv):
+            ifeat = ifeat.astype(cdt)
+            qh_all = queries(lfeat, coor)
 
             def chunk_fn(args):
                 pil_c, cnt_c, qh = args  # [Ck, P, D], [Ck], [Ck, C]
@@ -158,8 +217,7 @@ class MMRI_I2P(nn.Module):
 
                 grids, oks = jax.vmap(project)(l2i)  # [V, Ck*P, 2]
                 pt_ok = jnp.arange(p)[None, :] < cnt_c[:, None]  # [Ck, P]
-                if 0 < self.n_views < v:
-                    nv = self.n_views
+                if 0 < nv < v:
                     okr = (
                         oks.reshape(v, chunk, p) & pt_ok[None]
                     )  # [V, Ck, P]
@@ -175,17 +233,12 @@ class MMRI_I2P(nn.Module):
                         okr.transpose(1, 0, 2), vsel[:, :, None], axis=1
                     ).reshape(chunk, nv * p)
                     vidx = jnp.broadcast_to(vsel[:, :, None], (chunk, nv, p))
-                    sampler_v = (
-                        grid_sample_2d_views_nearest
-                        if (self.sample_mode == "nearest" and not train)
-                        else grid_sample_2d_views
-                    )
                     sampled = sampler_v(ifeat, gsel, vidx)
                     keys = sampled.reshape(chunk, nv * p, c).astype(cdt)
                 else:
                     sampler = (
                         grid_sample_2d_nearest
-                        if (self.sample_mode == "nearest" and not train)
+                        if (mode == "nearest" and not train)
                         else grid_sample_2d
                     )
                     sampled = jax.vmap(sampler)(ifeat, grids)
@@ -196,22 +249,7 @@ class MMRI_I2P(nn.Module):
                     # dtype so K/V projections hit the MXU's bf16 path
                     keys = keys.reshape(chunk, p * v, c).astype(cdt)
 
-                kh = keys @ wk.astype(cdt) + bk.astype(cdt)
-                vh = keys @ wv.astype(cdt) + bv.astype(cdt)
-                logits = jnp.einsum(
-                    "qc,qkc->qk", qh.astype(cdt), kh,
-                    preferred_element_type=jnp.float32,
-                )
-                logits = jnp.where(kmask, logits, -jnp.inf)
-                attn = jax.nn.softmax(logits, axis=-1)
-                any_key = jnp.any(kmask, -1)
-                attn = jnp.where(any_key[:, None], attn, 0.0)
-                av = jnp.einsum(
-                    "qk,qkc->qc", attn.astype(cdt), vh,
-                    preferred_element_type=jnp.float32,
-                )
-                o = av @ wo + bo
-                return o, any_key
+                return attend(qh, keys, kmask)
 
             # remat: the backward pass re-samples each chunk instead of
             # storing every chunk's keys (trades cheap gathers for ~GBs)
@@ -225,16 +263,21 @@ class MMRI_I2P(nn.Module):
             )
             return outs.reshape(kpad, c)[:kp], any_key.reshape(kpad)[:kp]
 
-        out, any_key = jax.vmap(per_sample)(
-            lidar_feat,
-            img_feats,
-            pillars,
-            pillar_counts,
-            pillar_coords,
-            pillar_valid,
-            lidar2img,
-            lidar_aug_inv,
-        )
+        if geom is not None and 0 < nv < v:
+            out, any_key = jax.vmap(per_sample_geom)(
+                lidar_feat, img_feats, pillar_coords, *geom
+            )
+        else:
+            out, any_key = jax.vmap(per_sample)(
+                lidar_feat,
+                img_feats,
+                pillars,
+                pillar_counts,
+                pillar_coords,
+                pillar_valid,
+                lidar2img,
+                lidar_aug_inv,
+            )
         has_key = any_key & pillar_valid  # reference `valid` gate
         out = jnp.where(has_key[..., None], out, 0.0)
 
@@ -249,6 +292,79 @@ class MMRI_I2P(nn.Module):
             )
 
         return jax.vmap(scatter)(out, pillar_coords, has_key)
+
+
+def i2p_geometry(
+    pillars,  # [B, Kp, P, D>=3]
+    pillar_counts,  # [B, Kp]
+    lidar2img,  # [B, V, 4, 4]
+    lidar_aug_inv,  # [B, 4, 4]
+    input_shape: Tuple[int, int],  # (H, W) padded camera image
+    n_views: int,
+):
+    """Hoisted I2P sampling geometry for the top-N-view path.
+
+    The per-pillar projection + view selection depends only on the raw
+    points and calibration — NOT on the evolving feature maps — so
+    encoders with multiple interaction layers compute it once and feed it
+    to every ``MMRI_I2P`` call (same hoist as :func:`bevwarp_grid`).
+    View selection uses iterative argmax + one-hot masked sums, which
+    matches ``lax.top_k`` tie-breaking (max count first, then lowest view
+    index) without ``take_along_axis`` — the latter lowers to a
+    [Kp*nv*P]-index gather per selected array on TPU.
+
+    Returns (gsel [B,Kp,nv,P,2] f32, vidx [B,Kp,nv,P] i32,
+    kmask [B,Kp,nv*P] bool).
+    """
+    ih, iw = input_shape
+
+    def per_sample(pil, cnt, mats, ainv):
+        kp, p = pil.shape[0], pil.shape[1]
+        v = mats.shape[0]
+        pts = pil[..., :3].reshape(kp * p, 3)
+        raw = transform_points(ainv, pts)
+        hom = jnp.concatenate([raw, jnp.ones_like(raw[:, :1])], -1)
+
+        def project(mat):
+            cam = hom @ mat.T
+            eps = 1e-5
+            depth_ok = cam[:, 2] > eps
+            xy = cam[:, :2] / jnp.maximum(cam[:, 2:3], eps)
+            gx = (xy[:, 0] / iw - 0.5) * 2.0
+            gy = (xy[:, 1] / ih - 0.5) * 2.0
+            ok = depth_ok & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1)
+            return jnp.stack([gx, gy], -1), ok
+
+        grids, oks = jax.vmap(project)(mats)  # [V, Kp*P, 2], [V, Kp*P]
+        pt_ok = jnp.arange(p)[None, :] < cnt[:, None]  # [Kp, P]
+        okr = oks.reshape(v, kp, p) & pt_ok[None]  # [V, Kp, P]
+        vcnt = jnp.sum(okr, axis=2)  # [V, Kp]
+        iota_v = jnp.arange(v, dtype=jnp.int32)[:, None]
+        vsels, rem = [], vcnt
+        for _ in range(n_views):
+            vi = jnp.argmax(rem, axis=0).astype(jnp.int32)  # [Kp]
+            vsels.append(vi)
+            rem = jnp.where(iota_v == vi[None], -1, rem)
+        vsel = jnp.stack(vsels)  # [nv, Kp]
+        sel = iota_v[:, None, :] == vsel[None]  # [V, nv, Kp]
+        gsel = jnp.sum(
+            jnp.where(
+                sel[:, :, :, None, None], grids.reshape(v, 1, kp, p, 2), 0.0
+            ),
+            axis=0,
+        )  # [nv, Kp, P, 2]
+        kmask = (
+            jnp.sum(jnp.where(sel[:, :, :, None], okr[:, None], False), axis=0)
+            > 0
+        )  # [nv, Kp, P]
+        vidx = jnp.broadcast_to(vsel[:, :, None], (n_views, kp, p))
+        return (
+            jnp.transpose(gsel, (1, 0, 2, 3)),
+            jnp.transpose(vidx, (1, 0, 2)),
+            jnp.transpose(kmask, (1, 0, 2)).reshape(kp, n_views * p),
+        )
+
+    return jax.vmap(per_sample)(pillars, pillar_counts, lidar2img, lidar_aug_inv)
 
 
 def bevwarp_grid(
@@ -433,6 +549,7 @@ class MMRIEncoderLayer(nn.Module):
         batch: Dict[str, Any],
         train: bool = False,
         warp_grid=None,
+        i2p_geom=None,
     ):
         c = self.cfg.hidden_channel
         k = self.cfg.local_attn_kernel
@@ -449,6 +566,7 @@ class MMRIEncoderLayer(nn.Module):
             batch["lidar_aug_inv"],
             self.input_shape,
             train,
+            geom=i2p_geom,
         )
         p2p = LocalContextAttentionBlock(c, k, name="p_iml")(lidar_feat, lidar_feat, train)
         p_aug = ConvBNReLU(c, 1, use_act=False, name="p_out_proj")(
@@ -519,8 +637,24 @@ class MMRIEncoder(nn.Module):
             self.input_shape,
             self.pc_range,
         )
+        # I2P projection geometry: same hoist as the warp grid (the
+        # projection + top-view selection depends only on points and
+        # calibration, not on the evolving features)
+        nv = MMRI_I2P.n_views
+        i2p_geom = (
+            i2p_geometry(
+                batch["pillars"],
+                batch["pillar_counts"],
+                batch["lidar2img"],
+                batch["lidar_aug_inv"],
+                self.input_shape,
+                nv,
+            )
+            if 0 < nv < v
+            else None
+        )
         for i in range(self.cfg.num_layers):
             img, pts = MMRIEncoderLayer(
                 self.cfg, self.pc_range, self.input_shape, name=f"layer{i}"
-            )(img, pts, batch, train, warp_grid=warp_grid)
+            )(img, pts, batch, train, warp_grid=warp_grid, i2p_geom=i2p_geom)
         return img, (pts_feat_conv, pts)

@@ -10,6 +10,11 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Golden fixtures + reference oracles were recorded with bilinear I2P
+# sampling (strict reference parity). The package default at eval is the
+# quality-gated "nearest" lever (PERF.md round 3); tests pin the parity
+# mode. Equivalence of the two modes is covered by test_mmri_encoder.py.
+os.environ.setdefault("DI_I2P_SAMPLE", "bilinear")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

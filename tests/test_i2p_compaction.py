@@ -107,3 +107,32 @@ def test_top2_compaction_matches_full_keys():
     top2 = run(2)
     np.testing.assert_allclose(top2, full, rtol=1e-5, atol=1e-5)
     assert np.abs(full).max() > 0  # fixture actually produces output
+
+
+def test_hoisted_geometry_matches_inchunk():
+    """i2p_geometry()-hoisted sampling == the in-chunk projection path,
+    bit-identically, for both eval samplers (the hoist must be a pure
+    code motion: same top-k tie-breaking, same masks)."""
+    from deepinteraction_tpu.models.mmri_encoder import i2p_geometry
+
+    rng = np.random.default_rng(3)
+    fx = _fixture(rng)
+    geom = i2p_geometry(
+        fx["pillars"], fx["counts"], fx["l2i"], fx["aug_inv"],
+        fx["input_shape"], 2,
+    )
+
+    for mode in ("bilinear", "nearest"):
+        mod = MMRI_I2P(
+            fx["c"], fx["p"] * fx["v"], chunk=16, n_views=2, sample_mode=mode
+        )
+        args = (
+            fx["lidar_feat"], fx["img_feats"], fx["pillars"], fx["counts"],
+            fx["coords"], fx["valid"], fx["l2i"], fx["aug_inv"],
+            fx["input_shape"], False,
+        )
+        vars_ = mod.init(jax.random.PRNGKey(1), *args)
+        inchunk = np.asarray(mod.apply(vars_, *args))
+        hoisted = np.asarray(mod.apply(vars_, *args, geom=geom))
+        np.testing.assert_array_equal(hoisted, inchunk)
+        assert np.abs(inchunk).max() > 0

@@ -52,7 +52,14 @@ BN_EPS = 1e-3
 # shapes. Interpreted (slow) off-TPU, so tests/CPU default to 'gather'.
 SPARSE_IMPL = os.environ.get("DI_SPARSE_IMPL", "banded")
 BANDED_T = int(os.environ.get("DI_BANDED_T", "128"))
-BANDED_W = int(os.environ.get("DI_BANDED_W", "512"))
+# Window width; kernel cost is ~linear in W. Accepts one value or a
+# comma-separated per-stage list ("512,384,320,256") — deeper stages have
+# smaller index spreads, so narrower windows stay overflow-free there.
+_BANDED_WS = [int(x) for x in os.environ.get("DI_BANDED_W", "512").split(",")]
+
+
+def banded_w(stage_idx: int) -> int:
+    return _BANDED_WS[min(stage_idx, len(_BANDED_WS) - 1)]
 
 
 def _resolve_impl(impl: str) -> str:
@@ -81,13 +88,14 @@ class _Stage:
 
     DENSE_BYTE_LIMIT = 900e6
 
-    def __init__(self, coords, valid, shape, impl: str):
+    def __init__(self, coords, valid, shape, impl: str, stage_idx: int = 0):
         impl = _resolve_impl(impl)
         if impl == "dense":
             padded_bytes = shape[0] * shape[1] * shape[2] * 128 * 4
             if padded_bytes > self.DENSE_BYTE_LIMIT:
                 impl = "gather"
         self.coords, self.valid, self.shape, self.impl = coords, valid, shape, impl
+        self.W = banded_w(stage_idx)
         self.nbr = (
             _vmap_subm_table(coords, valid, shape)
             if impl in ("gather", "banded")
@@ -95,7 +103,7 @@ class _Stage:
         )
         if impl == "banded":
             self.plan = jax.vmap(
-                lambda n, v: scb.make_banded_plan(n, v, T=BANDED_T, W=BANDED_W)
+                lambda n, v: scb.make_banded_plan(n, v, T=BANDED_T, W=self.W)
             )(self.nbr, valid)
 
     def subm(self, x, w):
@@ -103,7 +111,7 @@ class _Stage:
             outs = [
                 scb.banded_subm_conv(
                     BANDED_T,
-                    BANDED_W,
+                    self.W,
                     False,
                     x[b],
                     w,
@@ -207,13 +215,18 @@ class SparseEncoder(nn.Module):
         caps = cfg.stage_capacities
         w_init = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
 
-        # Training uses the gather path: the banded kernel's forward
-        # residuals (bf16 feature copies + per-stage plans + padded output
-        # buffers) push the full-size fwd+bwd graph over HBM on a 16 GB
-        # chip (measured RESOURCE_EXHAUSTED; the gather train step fits at
-        # 2.1 s/step). Eval keeps the banded kernel.
-        impl = "gather" if (train and self.impl == "banded") else self.impl
-        stage = _Stage(coords, valid, shape, impl)
+        # Training defaults to the gather path: the banded kernel's round-2
+        # backward materialized [K, 27, Cin] per conv for d/dW and pushed
+        # the full-size fwd+bwd graph over HBM on a 16 GB chip (measured
+        # RESOURCE_EXHAUSTED; the gather train step fits at 2.1 s/step).
+        # The backward is now tap-looped with bf16 residuals
+        # (sparse_conv_banded._banded_bwd); DI_SPARSE_TRAIN_IMPL=banded
+        # opts train graphs back in. Eval keeps the banded kernel.
+        if train and self.impl == "banded":
+            impl = os.environ.get("DI_SPARSE_TRAIN_IMPL", "gather")
+        else:
+            impl = self.impl
+        stage = _Stage(coords, valid, shape, impl, stage_idx=0)
         feats = _SubMConvBNReLU(cfg.in_channels, cfg.base_channels, name="conv_input")(
             voxel_feats, stage, train
         )
@@ -242,7 +255,7 @@ class SparseEncoder(nn.Module):
                     momentum=BN_MOM, epsilon=BN_EPS, name=f"down{i}_bn"
                 )(feats, valid, train)
                 feats = nn.relu(feats)
-                stage = _Stage(coords, valid, cur_shape, impl)
+                stage = _Stage(coords, valid, cur_shape, impl, stage_idx=i + 1)
 
         # conv_out: k (3,1,1) s (2,1,1) pad 0
         w_out = self.param(

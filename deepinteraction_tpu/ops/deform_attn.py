@@ -16,6 +16,7 @@ Semantics matched to mmcv:
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -24,6 +25,30 @@ import numpy as np
 from flax import linen as nn
 
 from ..utils.geometry import build_patch_table_flat, grid_sample_2d_views_patch_flat
+
+# Eval-time sample-point reduction: keep only the top-k attention-weighted
+# points per (query, head, level) and renormalize. The sampling gathers are
+# index-rate-bound on TPU (~11 ns/row, PERF.md), so k of p cuts that bucket
+# by p/k. 0 = off (exact reference math). Training always uses all points.
+# Selection uses one-hot matmuls over the tiny p axis — take_along_axis
+# would re-introduce as many gather indices as it saves (PERF.md pitfall).
+MSDA_EVAL_POINTS = int(os.environ.get("DI_MSDA_EVAL_POINTS", "0"))
+
+
+def topk_points(offsets: jnp.ndarray, weights: jnp.ndarray, k: int):
+    """Keep the k highest-weight sampling points per (query, head, level).
+
+    offsets [..., l, p, 2], weights [..., l, p] (softmaxed jointly over
+    l*p). Returns ([..., l, k, 2], [..., l, k]) with the kept weights
+    renormalized to sum to 1 over (l, k). Pure one-hot matmuls — no
+    gather indices.
+    """
+    p = weights.shape[-1]
+    topv, topi = jax.lax.top_k(weights, k)  # [..., l, k]
+    sel = (topi[..., None] == jnp.arange(p)).astype(offsets.dtype)
+    off_k = jnp.einsum("...kp,...pc->...kc", sel, offsets)
+    w_k = topv / jnp.sum(topv, axis=(-2, -1), keepdims=True)
+    return off_k, w_k
 
 
 def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
@@ -68,6 +93,11 @@ class MSDeformableAttention(nn.Module):
             h * l * p, kernel_init=nn.initializers.zeros, name="attention_weights"
         )(query).reshape(b, nq, h, l * p)
         weights = jax.nn.softmax(weights, axis=-1).reshape(b, nq, h, l, p)
+
+        k = MSDA_EVAL_POINTS
+        if not train and 0 < k < p:
+            offsets, weights = topk_points(offsets, weights, k)
+            p = k
 
         sizes = [hh * ww for hh, ww in spatial_shapes]
         starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])

@@ -212,26 +212,42 @@ def _banded_fwd(T, W, interpret, features, weights, valid, nbr, plan):
     out = _banded_apply(
         features, weights, valid, nbr, plan, T=T, W=W, interpret=interpret
     )
-    return out, (features, weights, valid, nbr, plan)
+    # bf16 residual halves the per-conv feature copy held across the
+    # backward; the fwd matmul already runs in bf16, so dw sees the same
+    # rounded activations the primal used.
+    return out, (features.astype(jnp.bfloat16), weights, valid, nbr, plan)
 
 
 def _banded_bwd(T, W, interpret, res, dy):
     features, weights, valid, nbr, plan = res
+    features = features.astype(jnp.float32)
     dy = jnp.where(valid[:, None], dy, 0.0)
     # d/dfeat: transpose conv = same banded conv with W'[d] = W[mirror d]^T
     wt = jnp.transpose(weights[MIRROR], (0, 2, 1))  # [27, Cout, Cin]
     dfeat = _banded_apply(
         dy, wt, valid, nbr, plan, T=T, W=W, interpret=interpret
     )
-    # d/dW[d] = gathered(features)[:, d, :]^T @ dy — one XLA gather
-    kin = features.shape[0]
+    # d/dW[d] = gathered(features)[:, d, :]^T @ dy. Tap-looped: peak memory
+    # [K, Cin] instead of the [K, 27, Cin] einsum materialization (~200 MB
+    # per conv at stage-0 size — the old form pushed full-size fwd+bwd
+    # train graphs over 16 GB HBM). Same total gather-index count.
+    kin, cin = features.shape
     table = jnp.concatenate(
         [jnp.where(valid[:, None], features, 0.0),
-         jnp.zeros((1, features.shape[1]), features.dtype)], axis=0
+         jnp.zeros((1, cin), features.dtype)], axis=0
     )
-    g = table[jnp.minimum(nbr, kin)]  # [K, 27, Cin]
-    dw = jnp.einsum("kdc,ko->dco", g, dy)
-    return dfeat, dw, None, None, None
+
+    def tap(d, acc):
+        idx = jnp.minimum(jax.lax.dynamic_index_in_dim(nbr, d, 1, False), kin)
+        g = table[idx]  # [K, Cin]
+        return acc.at[d].set(
+            jax.lax.dot_general(g, dy, (((0,), (0,)), ((), ())))
+        )
+
+    dw = jax.lax.fori_loop(
+        0, D, tap, jnp.zeros((D, cin, dy.shape[1]), jnp.float32)
+    )
+    return dfeat, dw.astype(weights.dtype), None, None, None
 
 
 banded_subm_conv.defvjp(_banded_fwd, _banded_bwd)

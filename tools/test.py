@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate DeepInteraction-TPU")
-    p.add_argument("config", choices=["fusion_base", "fusion_plusplus", "lidar_only", "tiny", "tiny_lidar"])
+    p.add_argument("config", choices=["fusion_base", "fusion_plusplus", "lidar_only", "tiny", "tiny_pp", "tiny_lidar"])
     p.add_argument("--infos", required=True, help="val info pkl")
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     p.add_argument("--out", default=None, help="write raw detections pkl here")

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser(description="Train DeepInteraction-TPU")
-    p.add_argument("config", choices=["fusion_base", "fusion_plusplus", "lidar_only", "tiny", "tiny_lidar"])
+    p.add_argument("config", choices=["fusion_base", "fusion_plusplus", "lidar_only", "tiny", "tiny_pp", "tiny_lidar"])
     p.add_argument("--infos", required=True, help="train info pkl")
     p.add_argument("--work-dir", default=None)
     p.add_argument("--load-from", default=None, help="params-only warm start dir")
@@ -58,6 +58,7 @@ def get_config(name: str):
         fusion_base_config,
         fusion_plusplus_config,
         tiny_config,
+        tiny_pp_config,
     )
 
     from deepinteraction_tpu.configs import lidar_only_config, tiny_lidar_config
@@ -67,6 +68,7 @@ def get_config(name: str):
         "fusion_plusplus": fusion_plusplus_config,
         "lidar_only": lidar_only_config,
         "tiny": tiny_config,
+        "tiny_pp": tiny_pp_config,
         "tiny_lidar": tiny_lidar_config,
     }[name]()
 

@@ -29,12 +29,22 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # mirror JAX_PLATFORMS into the config + persistent compile cache
+    # (see tools/train.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
     import jax.numpy as jnp
+    import numpy as np
 
     from deepinteraction_tpu.configs import apply_overrides
     from deepinteraction_tpu.inference import get_bboxes
     from deepinteraction_tpu.models.detector import DeepInteraction
-    from deepinteraction_tpu.utils.testing import make_synthetic_batch
+    from deepinteraction_tpu.utils.testing import fast_init_variables, make_synthetic_batch
 
     from tools.train import get_config
 
@@ -73,21 +83,23 @@ def main():
                 break
         dl.close()
 
-    variables = jax.jit(lambda r, b: model.init(r, b, False))(
-        jax.random.PRNGKey(0), batches[0]
-    )
+    # eval_shape + zeros leaves: a full-size jitted model.init can crash the
+    # axon worker (CLAUDE.md); timing is init-value-independent
+    variables = fast_init_variables(model, batches[0])
+
+    # honest fence: under the axon tunnel block_until_ready returns before
+    # the device finishes — a host transfer of a scalar is the only fence
+    fence = lambda o: np.asarray(o.scores).sum()
 
     t0 = time.time()
-    jax.block_until_ready(forward(variables, batches[0]))
+    fence(forward(variables, batches[0]))
     print(f"compile: {time.time() - t0:.1f}s")
     for i in range(args.warmup):
-        jax.block_until_ready(forward(variables, batches[i % len(batches)]))
+        fence(forward(variables, batches[i % len(batches)]))
 
     t0 = time.time()
-    out = None
     for i in range(args.samples):
-        out = forward(variables, batches[i % len(batches)])
-    jax.block_until_ready(out)
+        fence(forward(variables, batches[i % len(batches)]))
     dt = (time.time() - t0) / args.samples
     print(
         f"{args.samples} iters, batch {args.batch}: "

@@ -38,6 +38,13 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    # mirror JAX_PLATFORMS into the config (env alone is not reliably
+    # honored on this runtime — see tools/train.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     import jax.numpy as jnp
     import numpy as np
 

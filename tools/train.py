@@ -76,6 +76,15 @@ def get_config(name: str):
 def main():
     args = parse_args()
     import jax
+
+    # JAX_PLATFORMS in the env alone is not reliably honored on this runtime
+    # (the axon plugin registers regardless); mirror it into the config so
+    # `JAX_PLATFORMS=cpu python tools/train.py ...` really runs on CPU
+    # instead of hanging on a stale TPU tunnel.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..utils.geometry import build_patch_table_flat, grid_sample_2d_views_patch_flat
+from ..utils.geometry import (
+    _patch_cells,
+    build_patch_table_flat,
+    grid_sample_2d_views_patch_flat,
+)
 
 # Eval-time sample-point reduction: keep only the top-k attention-weighted
 # points per (query, head, level) and renormalize. The sampling gathers are
@@ -33,6 +37,14 @@ from ..utils.geometry import build_patch_table_flat, grid_sample_2d_views_patch_
 # Selection uses one-hot matmuls over the tiny p axis — take_along_axis
 # would re-introduce as many gather indices as it saves (PERF.md pitfall).
 MSDA_EVAL_POINTS = int(os.environ.get("DI_MSDA_EVAL_POINTS", "0"))
+
+# Joint variant: keep the top-k over the FULL (levels x points) candidate
+# set per (query, head) — strictly better selection than k-per-level at the
+# same gather budget (the softmax is already joint over l*p, mmcv
+# semantics). Routes every kept point through ONE concatenated multi-level
+# patch table, so the level loop collapses into a single gather. 0 = off.
+# Mutually exclusive with DI_MSDA_EVAL_POINTS (joint wins if both set).
+MSDA_JOINT_POINTS = int(os.environ.get("DI_MSDA_JOINT_POINTS", "0"))
 
 
 def topk_points(offsets: jnp.ndarray, weights: jnp.ndarray, k: int):
@@ -49,6 +61,64 @@ def topk_points(offsets: jnp.ndarray, weights: jnp.ndarray, k: int):
     off_k = jnp.einsum("...kp,...pc->...kc", sel, offsets)
     w_k = topv / jnp.sum(topv, axis=(-2, -1), keepdims=True)
     return off_k, w_k
+
+
+def joint_topk_sample(
+    v: jnp.ndarray,  # [B, Nv, h*hd] value-projected, levels flattened
+    offsets: jnp.ndarray,  # [B, Nq, h, L, P, 2]
+    weights: jnp.ndarray,  # [B, Nq, h, L, P], softmaxed jointly over L*P
+    reference_points: jnp.ndarray,  # [B, Nq, L, 2] in [0, 1]
+    spatial_shapes,  # static [(H_l, W_l)]
+    kj: int,
+) -> jnp.ndarray:
+    """Joint top-k MSDA sampling: keep the kj highest-weight points over the
+    FULL (levels x points) candidate set per (query, head), renormalized.
+
+    All levels' 2x2-patch tables are concatenated into ONE flat table with
+    per-level row offsets, so the kept points — whatever level they landed
+    on — ride a single gather of kj rows per (query, head) instead of L
+    per-level gathers of P rows each. Selection is one-hot matmuls over the
+    tiny L*P axis (exact: row ids < 2^24 are integers in f32).
+
+    Same candidate geometry and zero-padding semantics as the exact path
+    (shared ``_patch_cells``); only which points are kept differs. Returns
+    [B, Nq, h, hd].
+    """
+    b, nq, h, l, p, _ = offsets.shape
+    hd = v.shape[-1] // h
+    sizes = [hh * ww for hh, ww in spatial_shapes]
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    tables, bases, cellws = [], [], []
+    row_offset = 0
+    for li, (hh, ww) in enumerate(spatial_shapes):
+        v_l = v[:, starts[li] : starts[li] + sizes[li]].reshape(b, hh, ww, h, hd)
+        vb = jnp.transpose(v_l, (0, 3, 1, 2, 4))  # [B, h, hh, ww, hd]
+        tables.append(jax.vmap(build_patch_table_flat)(vb))  # [B, h*hh*ww, 4hd]
+        wh = jnp.asarray([ww, hh], v.dtype)
+        loc = reference_points[:, :, None, li, None, :] + offsets[:, :, :, li] / wh
+        grid = loc * 2.0 - 1.0  # [B, Nq, h, P, 2]
+        hidx = jnp.broadcast_to(
+            jnp.arange(h, dtype=jnp.int32)[None, None, :, None], grid.shape[:-1]
+        )
+        base, w4 = _patch_cells((h, hh, ww), grid, hidx, False)
+        bases.append(base + row_offset)
+        cellws.append(jnp.stack(w4, -1))  # [B, Nq, h, P, 4]
+        row_offset += h * hh * ww
+    flat_table = jnp.concatenate(tables, axis=1)  # [B, sum_l h*H*W, 4hd]
+    base_all = jnp.stack(bases, 3).reshape(b, nq, h, l * p)
+    w4_all = jnp.stack(cellws, 3).reshape(b, nq, h, l * p, 4)
+
+    topv, topi = jax.lax.top_k(weights.reshape(b, nq, h, l * p), kj)
+    sel = (topi[..., None] == jnp.arange(l * p)).astype(jnp.float32)
+    base_k = jnp.einsum("...kq,...q->...k", sel, base_all.astype(jnp.float32))
+    base_k = jnp.round(base_k).astype(jnp.int32)
+    w4_k = jnp.einsum("...kq,...qc->...kc", sel.astype(w4_all.dtype), w4_all)
+    wk = topv / jnp.sum(topv, axis=-1, keepdims=True)
+
+    g = jax.vmap(lambda tb, ix: tb[ix])(flat_table, base_k.reshape(b, -1))
+    g = g.reshape(b, nq, h, kj, 4, hd)
+    sampled = jnp.sum(g * w4_k[..., None], axis=4)  # [B, Nq, h, kj, hd]
+    return jnp.sum(sampled * wk[..., None], axis=3)  # [B, Nq, h, hd]
 
 
 def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
@@ -93,6 +163,15 @@ class MSDeformableAttention(nn.Module):
             h * l * p, kernel_init=nn.initializers.zeros, name="attention_weights"
         )(query).reshape(b, nq, h, l * p)
         weights = jax.nn.softmax(weights, axis=-1).reshape(b, nq, h, l, p)
+
+        kj = MSDA_JOINT_POINTS
+        if not train and 0 < kj < l * p:
+            out = joint_topk_sample(
+                v, offsets, weights, reference_points, spatial_shapes, kj
+            )
+            out = nn.Dense(c, name="output_proj")(out.reshape(b, nq, c))
+            identity = query if identity is None else identity
+            return identity + out
 
         k = MSDA_EVAL_POINTS
         if not train and 0 < k < p:

@@ -64,3 +64,94 @@ def test_msda_topk_eval_runs_and_k_eq_p_exact(monkeypatch):
     err = float(jnp.max(jnp.abs(red - full)))
     base = float(jnp.max(jnp.abs(full)))
     assert err < base  # sanity: a perturbation, not garbage
+
+
+def _rand_msda_inputs(seed=2, b=2, nq=7, h=4, hd=8, shapes=((8, 8), (4, 4)), p=4):
+    rng = np.random.default_rng(seed)
+    l = len(shapes)
+    nv = sum(hh * ww for hh, ww in shapes)
+    v = jnp.asarray(rng.normal(size=(b, nv, h * hd)).astype(np.float32))
+    offsets = jnp.asarray(rng.normal(size=(b, nq, h, l, p, 2)).astype(np.float32))
+    logits = rng.normal(size=(b, nq, h, l * p)).astype(np.float32)
+    weights = jax.nn.softmax(jnp.asarray(logits), -1).reshape(b, nq, h, l, p)
+    ref = jnp.asarray(rng.uniform(0.1, 0.9, size=(b, nq, l, 2)).astype(np.float32))
+    return v, offsets, weights, ref, tuple(shapes)
+
+
+def _naive_candidate_samples(v, offsets, ref, shapes, h, hd):
+    """Per-candidate sampled features [B, Nq, h, L, P, hd] via the existing
+    per-level patch sampler — an independent formulation of the same
+    geometry (per-level tables + grid_sample vs one concatenated table)."""
+    from deepinteraction_tpu.utils.geometry import (
+        build_patch_table_flat,
+        grid_sample_2d_views_patch_flat,
+    )
+
+    b, nq = offsets.shape[:2]
+    l, p = offsets.shape[3], offsets.shape[4]
+    sizes = [hh * ww for hh, ww in shapes]
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    per_level = []
+    for li, (hh, ww) in enumerate(shapes):
+        v_l = v[:, starts[li] : starts[li] + sizes[li]].reshape(b, hh, ww, h, hd)
+        wh = jnp.asarray([ww, hh], jnp.float32)
+        loc = ref[:, :, None, li, None, :] + offsets[:, :, :, li] / wh
+        grid = loc * 2.0 - 1.0
+
+        def one(vb, gb):
+            table = build_patch_table_flat(jnp.transpose(vb, (2, 0, 1, 3)))
+            hidx = jnp.broadcast_to(
+                jnp.arange(h, dtype=jnp.int32)[None, :, None], gb.shape[:-1]
+            )
+            return grid_sample_2d_views_patch_flat(table, (h, hh, ww), gb, hidx)
+
+        per_level.append(jax.vmap(one)(v_l, grid))  # [B, Nq, h, P, hd]
+    return jnp.stack(per_level, axis=3)  # [B, Nq, h, L, P, hd]
+
+
+@pytest.mark.parametrize("kj", [1, 3, 8])
+def test_joint_topk_matches_naive_selection(kj):
+    h, hd = 4, 8
+    v, offsets, weights, ref, shapes = _rand_msda_inputs()
+    out = jax.jit(da.joint_topk_sample, static_argnums=(4, 5))(
+        v, offsets, weights, ref, shapes, kj
+    )
+
+    cand = _naive_candidate_samples(v, offsets, ref, shapes, h, hd)
+    b, nq = offsets.shape[:2]
+    l, p = offsets.shape[3], offsets.shape[4]
+    wflat = weights.reshape(b, nq, h, l * p)
+    cflat = cand.reshape(b, nq, h, l * p, hd)
+    topv, topi = jax.lax.top_k(wflat, kj)
+    kept = jnp.take_along_axis(cflat, topi[..., None], axis=-2)
+    wk = topv / jnp.sum(topv, -1, keepdims=True)
+    expect = jnp.sum(kept * wk[..., None], axis=-2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=2e-5)
+
+
+def test_joint_topk_keep_all_equals_exact_path(monkeypatch):
+    rng = np.random.default_rng(5)
+    shapes = [(8, 8), (4, 4)]
+    nv = sum(hh * ww for hh, ww in shapes)
+    query = jnp.asarray(rng.normal(size=(1, 10, 32)).astype(np.float32))
+    value = jnp.asarray(rng.normal(size=(1, nv, 32)).astype(np.float32))
+    ref = jnp.asarray(rng.uniform(0.2, 0.8, size=(1, 10, 2, 2)).astype(np.float32))
+
+    mod = da.MSDeformableAttention(embed_dims=32, num_heads=4, num_levels=2, num_points=4)
+    variables = mod.init(jax.random.PRNGKey(0), query, value, ref, shapes)
+    variables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)) * 0.1,
+        variables,
+    )
+    full = mod.apply(variables, query, value, ref, shapes)
+
+    # kj = L*P keeps every candidate: identical math, reassociated sums
+    monkeypatch.setattr(da, "MSDA_JOINT_POINTS", 8)
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(variables, query, value, ref, shapes)),
+        np.asarray(full), atol=1e-5,
+    )
+
+    monkeypatch.setattr(da, "MSDA_JOINT_POINTS", 4)
+    red = mod.apply(variables, query, value, ref, shapes)
+    assert np.isfinite(np.asarray(red)).all() and red.shape == full.shape

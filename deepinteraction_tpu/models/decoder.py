@@ -356,7 +356,18 @@ class Decoder(nn.Module):
         hm = hm * (hm == local_max)
         hm_flat = hm.reshape(b, n_cls * hb * wb)
 
-        top_scores, top_idx = jax.lax.top_k(hm_flat, p)
+        if b > 1:
+            # XLA's TopK custom-call has no SPMD partitioning rule: on a
+            # data-sharded mesh the partitioner all-gathers the heatmap to
+            # every device (the only collective in the whole eval graph —
+            # tests/test_dp_serving.py). A stable sort of (-x, iota) is
+            # fully batch-partitionable and reproduces top_k exactly,
+            # including smallest-index tie-breaking.
+            iota = jax.lax.broadcasted_iota(jnp.int32, hm_flat.shape, 1)
+            neg, idx = jax.lax.sort((-hm_flat, iota), num_keys=1, is_stable=True)
+            top_scores, top_idx = -neg[:, :p], idx[:, :p]
+        else:
+            top_scores, top_idx = jax.lax.top_k(hm_flat, p)
         top_cls = (top_idx // (hb * wb)).astype(jnp.int32)  # [B, P]
         top_pos = (top_idx % (hb * wb)).astype(jnp.int32)
 

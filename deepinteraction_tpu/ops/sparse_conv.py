@@ -332,27 +332,31 @@ def downsample_sites_batched(
     padding: Tuple[int, int, int],
     out_capacity: int,
 ):
-    """Batched site generation with ONE flat sort.
+    """Batched site generation; ONE flat sort at b == 1.
 
     A vmapped/batched [B, N] sort lowers ~4x slower than a flat 1-D sort
-    on TPU (measured 18.8 vs 4.9 ms at 1.28M keys), so the per-row keys
-    get disjoint row offsets (row * (n_cells + 1)), the whole [B*8K]
-    array is sorted once unstably, and rows come back grouped AND sorted.
-    Requires B * (prod(oshape) + 1) < 2^31 (true for every model stage at
-    any realistic batch).
+    on TPU (measured 18.8 vs 4.9 ms at 1.28M keys), so at b == 1 the keys
+    ride one flat unstable sort. At b > 1 the sort stays per sample: a
+    flat sort across the batch forces an all-gather + replicated sort on a
+    data-sharded mesh (see ops/voxelize.py::voxelize_batched), which both
+    costs more than the batched-sort penalty and breaks collective-free
+    DP serving. Requires B * (prod(oshape) + 1) < 2^31 at b == 1.
     """
     b = coords.shape[0]
     oshape = _out_shape(shape, kernel, stride, padding)
     onz, ony, onx = oshape
     sentinel = onz * ony * onx
-    assert b * (sentinel + 1) < 2**31, "flat-sort row offsets overflow int32"
     cands = jax.vmap(
         lambda c, v: downsample_candidates(c, v, shape, kernel, stride, padding)
     )(coords, valid)  # [B, 8K]
-    offs = (jnp.arange(b, dtype=jnp.int32) * (sentinel + 1))[:, None]
-    flat = (cands + offs).reshape(-1)
-    s_flat = jax.lax.sort((flat,), is_stable=False)[0]
-    s_ids = s_flat.reshape(b, -1) - offs
+    if b > 1:
+        s_ids = jax.vmap(lambda f: jax.lax.sort((f,), is_stable=False)[0])(cands)
+    else:
+        assert b * (sentinel + 1) < 2**31, "flat-sort row offsets overflow int32"
+        offs = (jnp.arange(b, dtype=jnp.int32) * (sentinel + 1))[:, None]
+        flat = (cands + offs).reshape(-1)
+        s_flat = jax.lax.sort((flat,), is_stable=False)[0]
+        s_ids = s_flat.reshape(b, -1) - offs
     ocoords, valid_out = jax.vmap(
         lambda s: _sites_from_sorted(s, oshape, out_capacity)
     )(s_ids)

@@ -193,22 +193,19 @@ def voxelize_batched(
     max_num_points: int,
     max_voxels: int,
 ) -> VoxelizedOutput:
-    """vmap(voxelize) with the per-sample stable argsort replaced by ONE
-    flat stable sort over row-offset keys (a batched [B, N] sort lowers
-    ~4x slower than a flat 1-D sort on TPU; same trick as
+    """vmap(voxelize); at b == 1 the per-sample stable argsort is replaced
+    by ONE flat stable sort over row-offset keys (a batched [B, N] sort
+    lowers ~4x slower than a flat 1-D sort on TPU; same trick as
     sparse_conv.downsample_sites_batched). Bit-identical to the vmapped
-    form: within a row, flat order == row order, so stability carries."""
+    form: within a row, flat order == row order, so stability carries.
+
+    At b > 1 the sorts stay PER SAMPLE: a flat sort across the batch is a
+    cross-batch op, so on a data-sharded mesh XLA must all-gather the
+    whole batch onto every device and replicate the sort — a net loss for
+    DP training/serving that also breaks the collective-free-serving
+    property (tests/test_dp_serving.py). The batched lowering's 4x sort
+    penalty is ~10 ms/step, the all-gather is unbounded with mesh size."""
     b, n = points.shape[0], points.shape[1]
-    # n_cells is static; the array outputs of this probe call are unused
-    # and dead-code-eliminated
-    n_cells = _bin_points(points[0], points_mask[0], voxel_size, point_cloud_range)[3]
-    lin = jax.vmap(
-        lambda p, m: _bin_points(p, m, voxel_size, point_cloud_range)[0]
-    )(points, points_mask)
-    assert b * (n_cells + 1) < 2**31, "flat-sort row offsets overflow int32"
-    offs = (jnp.arange(b, dtype=jnp.int32) * (n_cells + 1))[:, None]
-    flat_order = jnp.argsort((lin + offs).reshape(-1), stable=True)
-    order = flat_order.reshape(b, n) - (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
 
     def one(p, m, o):
         return voxelize(
@@ -221,6 +218,19 @@ def voxelize_batched(
             order=o,
         )
 
+    if b > 1:
+        return jax.vmap(lambda p, m: one(p, m, None))(points, points_mask)
+
+    # n_cells is static; the array outputs of this probe call are unused
+    # and dead-code-eliminated
+    n_cells = _bin_points(points[0], points_mask[0], voxel_size, point_cloud_range)[3]
+    lin = jax.vmap(
+        lambda p, m: _bin_points(p, m, voxel_size, point_cloud_range)[0]
+    )(points, points_mask)
+    assert b * (n_cells + 1) < 2**31, "flat-sort row offsets overflow int32"
+    offs = (jnp.arange(b, dtype=jnp.int32) * (n_cells + 1))[:, None]
+    flat_order = jnp.argsort((lin + offs).reshape(-1), stable=True)
+    order = flat_order.reshape(b, n) - (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
     return jax.vmap(one)(points, points_mask, order)
 
 

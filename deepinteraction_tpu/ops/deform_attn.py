@@ -44,7 +44,24 @@ MSDA_EVAL_POINTS = int(os.environ.get("DI_MSDA_EVAL_POINTS", "0"))
 # semantics). Routes every kept point through ONE concatenated multi-level
 # patch table, so the level loop collapses into a single gather. 0 = off.
 # Mutually exclusive with DI_MSDA_EVAL_POINTS (joint wins if both set).
-MSDA_JOINT_POINTS = int(os.environ.get("DI_MSDA_JOINT_POINTS", "0"))
+#
+# Default 4: quality-gated on the synthetic-overfit protocol (PERF.md
+# round 3) — joint k=4 matches exact sampling on trained AND unseen scenes
+# (mAP delta +0.001/-0.000, NDS +0.0006/+0.0001) while halving the ++
+# self_attn sampling gathers (k=4 of l*p=8); k=2 degraded trained-scene
+# mAP by 0.032 and is NOT safe. P2I (l*p=4) is untouched at kj=4 (the
+# joint path only engages when kj < l*p). Training always uses all points;
+# DI_MSDA_JOINT_POINTS=0 restores strict reference math at eval (pinned in
+# tests/conftest.py so golden fixtures stay in parity mode).
+MSDA_JOINT_POINTS = int(os.environ.get("DI_MSDA_JOINT_POINTS", "4"))
+
+# Heads-major value projection: write the value grid directly in the
+# [B, h, HW, hd] layout the patch-table build wants, via one einsum on the
+# MXU, instead of projecting to [B, HW, h*hd] and transposing (the strided
+# [hh,ww,h,hd] -> heads-major relayout measured 15.4 ms/call at ~71 GB/s in
+# the ++ trace — 92 ms across the 6 MSDA calls, PERF.md round 3). Same
+# contraction, same params — numerics identical up to dot reassociation.
+MSDA_HEADS_MAJOR = os.environ.get("DI_MSDA_HEADS_MAJOR", "0") == "1"
 
 
 def topk_points(offsets: jnp.ndarray, weights: jnp.ndarray, k: int):
@@ -64,12 +81,13 @@ def topk_points(offsets: jnp.ndarray, weights: jnp.ndarray, k: int):
 
 
 def joint_topk_sample(
-    v: jnp.ndarray,  # [B, Nv, h*hd] value-projected, levels flattened
+    v: jnp.ndarray,  # [B, Nv, h*hd], or [B, h, Nv, hd] if heads_major
     offsets: jnp.ndarray,  # [B, Nq, h, L, P, 2]
     weights: jnp.ndarray,  # [B, Nq, h, L, P], softmaxed jointly over L*P
     reference_points: jnp.ndarray,  # [B, Nq, L, 2] in [0, 1]
     spatial_shapes,  # static [(H_l, W_l)]
     kj: int,
+    heads_major: bool = False,
 ) -> jnp.ndarray:
     """Joint top-k MSDA sampling: keep the kj highest-weight points over the
     FULL (levels x points) candidate set per (query, head), renormalized.
@@ -85,14 +103,19 @@ def joint_topk_sample(
     [B, Nq, h, hd].
     """
     b, nq, h, l, p, _ = offsets.shape
-    hd = v.shape[-1] // h
+    hd = v.shape[-1] if heads_major else v.shape[-1] // h
     sizes = [hh * ww for hh, ww in spatial_shapes]
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
     tables, bases, cellws = [], [], []
     row_offset = 0
     for li, (hh, ww) in enumerate(spatial_shapes):
-        v_l = v[:, starts[li] : starts[li] + sizes[li]].reshape(b, hh, ww, h, hd)
-        vb = jnp.transpose(v_l, (0, 3, 1, 2, 4))  # [B, h, hh, ww, hd]
+        if heads_major:
+            vb = v[:, :, starts[li] : starts[li] + sizes[li]].reshape(
+                b, h, hh, ww, hd
+            )
+        else:
+            v_l = v[:, starts[li] : starts[li] + sizes[li]].reshape(b, hh, ww, h, hd)
+            vb = jnp.transpose(v_l, (0, 3, 1, 2, 4))  # [B, h, hh, ww, hd]
         tables.append(jax.vmap(build_patch_table_flat)(vb))  # [B, h*hh*ww, 4hd]
         wh = jnp.asarray([ww, hh], v.dtype)
         loc = reference_points[:, :, None, li, None, :] + offsets[:, :, :, li] / wh
@@ -119,6 +142,25 @@ def joint_topk_sample(
     g = g.reshape(b, nq, h, kj, 4, hd)
     sampled = jnp.sum(g * w4_k[..., None], axis=4)  # [B, Nq, h, kj, hd]
     return jnp.sum(sampled * wk[..., None], axis=3)  # [B, Nq, h, hd]
+
+
+class _LinearParams(nn.Module):
+    """kernel/bias with the exact param tree of an ``nn.Dense`` (so torch
+    checkpoint conversion and existing orbax checkpoints are unaffected),
+    exposed raw so the projection can be computed in either layout."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
 
 
 def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
@@ -152,7 +194,15 @@ class MSDeformableAttention(nn.Module):
         b, nq = query.shape[0], query.shape[1]
         assert len(spatial_shapes) == l
 
-        v = nn.Dense(c, name="value_proj")(value)
+        vk, vbias = _LinearParams(value.shape[-1], c, name="value_proj")()
+        heads_major = MSDA_HEADS_MAJOR and not train
+        if heads_major:
+            # [B, h, Nv, hd] straight off the MXU — no strided relayout.
+            v = jnp.einsum(
+                "bpc,chd->bhpd", value, vk.reshape(-1, h, hd)
+            ) + vbias.reshape(h, 1, hd)
+        else:
+            v = jnp.dot(value, vk) + vbias
         offsets = nn.Dense(
             2 * h * l * p,
             kernel_init=nn.initializers.zeros,
@@ -167,7 +217,8 @@ class MSDeformableAttention(nn.Module):
         kj = MSDA_JOINT_POINTS
         if not train and 0 < kj < l * p:
             out = joint_topk_sample(
-                v, offsets, weights, reference_points, spatial_shapes, kj
+                v, offsets, weights, reference_points, spatial_shapes, kj,
+                heads_major=heads_major,
             )
             out = nn.Dense(c, name="output_proj")(out.reshape(b, nq, c))
             identity = query if identity is None else identity
@@ -182,12 +233,22 @@ class MSDeformableAttention(nn.Module):
         starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
         out = jnp.zeros((b, nq, h, hd), query.dtype)
         for li, (hh, ww) in enumerate(spatial_shapes):
-            v_l = v[:, starts[li] : starts[li] + sizes[li]].reshape(b, hh, ww, h, hd)
+            if heads_major:
+                vb_l = v[:, :, starts[li] : starts[li] + sizes[li]].reshape(
+                    b, h, hh, ww, hd
+                )
+            else:
+                v_l = v[:, starts[li] : starts[li] + sizes[li]].reshape(
+                    b, hh, ww, h, hd
+                )
+                # heads-major for the flat patch table (relayout; see
+                # DI_MSDA_HEADS_MAJOR above for the transpose-free variant)
+                vb_l = jnp.transpose(v_l, (0, 3, 1, 2, 4))
             wh = jnp.asarray([ww, hh], query.dtype)
             loc = reference_points[:, :, None, li, None, :] + offsets[:, :, :, li] / wh
             grid = loc * 2.0 - 1.0  # [B, Nq, h, p, 2]
 
-            def sample_one(vb, gb):  # [hh, ww, h, hd], [Nq, h, p, 2]
+            def sample_one(vb, gb):  # [h, hh, ww, hd], [Nq, h, p, 2]
                 # heads act as "views" of a FLAT 2x2-patch table: all 4
                 # bilinear taps of a (query, head, point) arrive in one
                 # [4*hd]-lane row gather — measured 3.7x faster than
@@ -195,13 +256,13 @@ class MSDeformableAttention(nn.Module):
                 # (Flattening (h, p) into the gather row dim to improve
                 # the output layout measured NEGATIVE: the reshape after
                 # the gather costs more than the tile padding it saves.)
-                table = build_patch_table_flat(jnp.transpose(vb, (2, 0, 1, 3)))
+                table = build_patch_table_flat(vb)
                 hidx = jnp.broadcast_to(
                     jnp.arange(h, dtype=jnp.int32)[None, :, None], gb.shape[:-1]
                 )
                 return grid_sample_2d_views_patch_flat(table, (h, hh, ww), gb, hidx)
 
-            sampled = jax.vmap(sample_one)(v_l, grid)  # [B, Nq, h, p, hd]
+            sampled = jax.vmap(sample_one)(vb_l, grid)  # [B, Nq, h, p, hd]
             out = out + jnp.sum(sampled * weights[:, :, :, li, :, None], axis=3)
 
         out = nn.Dense(c, name="output_proj")(out.reshape(b, nq, c))

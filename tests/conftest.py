@@ -16,8 +16,10 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # mode. Equivalence of the two modes is covered by test_mmri_encoder.py.
 os.environ.setdefault("DI_I2P_SAMPLE", "bilinear")
 # MSDA eval-time top-k point reduction stays off in tests (parity mode);
-# the lever itself is covered by test_deform_topk.py.
+# the lever itself is covered by test_deform_topk.py. The package default
+# at eval is joint k=4 (quality-gated, PERF.md round 3).
 os.environ.setdefault("DI_MSDA_EVAL_POINTS", "0")
+os.environ.setdefault("DI_MSDA_JOINT_POINTS", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

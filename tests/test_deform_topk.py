@@ -155,3 +155,45 @@ def test_joint_topk_keep_all_equals_exact_path(monkeypatch):
     monkeypatch.setattr(da, "MSDA_JOINT_POINTS", 4)
     red = mod.apply(variables, query, value, ref, shapes)
     assert np.isfinite(np.asarray(red)).all() and red.shape == full.shape
+
+
+def test_heads_major_value_projection_matches(monkeypatch):
+    """DI_MSDA_HEADS_MAJOR computes the value projection directly in the
+    [B, h, Nv, hd] layout (one einsum, no strided relayout). Same params,
+    same math up to dot reassociation — outputs must match on the exact
+    path, the joint-top-k path, and keep the nn.Dense param tree."""
+    rng = np.random.default_rng(7)
+    shapes = [(8, 8), (4, 4)]
+    nv = sum(hh * ww for hh, ww in shapes)
+    query = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+    value = jnp.asarray(rng.normal(size=(2, nv, 32)).astype(np.float32))
+    ref = jnp.asarray(rng.uniform(0.2, 0.8, size=(2, 10, 2, 2)).astype(np.float32))
+
+    mod = da.MSDeformableAttention(embed_dims=32, num_heads=4, num_levels=2, num_points=4)
+    variables = mod.init(jax.random.PRNGKey(0), query, value, ref, shapes)
+    vp = variables["params"]["value_proj"]
+    assert vp["kernel"].shape == (32, 32) and vp["bias"].shape == (32,)
+    variables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)) * 0.1,
+        variables,
+    )
+    base = mod.apply(variables, query, value, ref, shapes)
+    monkeypatch.setattr(da, "MSDA_HEADS_MAJOR", True)
+    hm = mod.apply(variables, query, value, ref, shapes)
+    np.testing.assert_allclose(np.asarray(hm), np.asarray(base), atol=2e-5)
+
+    monkeypatch.setattr(da, "MSDA_JOINT_POINTS", 3)
+    joint_hm = mod.apply(variables, query, value, ref, shapes)
+    monkeypatch.setattr(da, "MSDA_HEADS_MAJOR", False)
+    joint = mod.apply(variables, query, value, ref, shapes)
+    np.testing.assert_allclose(np.asarray(joint_hm), np.asarray(joint), atol=2e-5)
+
+    # train path always uses the flat projection (layout irrelevant under
+    # autodiff; keeps the train graph unchanged)
+    monkeypatch.setattr(da, "MSDA_JOINT_POINTS", 0)
+    monkeypatch.setattr(da, "MSDA_HEADS_MAJOR", True)
+    tr = mod.apply(
+        variables, query, value, ref, shapes, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.isfinite(np.asarray(tr)).all()

@@ -36,7 +36,14 @@ from ..utils.geometry import (
 # by p/k. 0 = off (exact reference math). Training always uses all points.
 # Selection uses one-hot matmuls over the tiny p axis — take_along_axis
 # would re-introduce as many gather indices as it saves (PERF.md pitfall).
-MSDA_EVAL_POINTS = int(os.environ.get("DI_MSDA_EVAL_POINTS", "0"))
+#
+# Default 2: quality-gated (PERF.md round 3) — per-level k=2 matched exact
+# sampling on trained AND unseen synthetic roots (mAP delta 0.0000, NDS
+# -0.0001), standalone and combined with joint k=4. Where the joint lever
+# engages (l*p > kj, e.g. ++ self_attn) it takes precedence and this knob
+# is ignored; it bites on MMRI_P2I (l=1, p=4 -> top-2). 0 = strict parity
+# (pinned in tests/conftest.py).
+MSDA_EVAL_POINTS = int(os.environ.get("DI_MSDA_EVAL_POINTS", "2"))
 
 # Joint variant: keep the top-k over the FULL (levels x points) candidate
 # set per (query, head) — strictly better selection than k-per-level at the

@@ -98,7 +98,7 @@ class _Stage:
         self.W = banded_w(stage_idx)
         self.nbr = (
             _vmap_subm_table(coords, valid, shape)
-            if impl in ("gather", "banded")
+            if impl in ("gather", "sgather", "banded")
             else None
         )
         if impl == "banded":
@@ -122,6 +122,10 @@ class _Stage:
                 for b in range(x.shape[0])
             ]
             return jnp.stack(outs)
+        if self.impl == "sgather":
+            return jax.vmap(lambda f, n, v: sc.slice_gathered_matmul(f, n, w, v))(
+                x, self.nbr, self.valid
+            )
         if self.impl == "gather":
             return jax.vmap(lambda f, n, v: sc.gathered_matmul(f, n, w, v))(
                 x, self.nbr, self.valid
@@ -137,7 +141,7 @@ class _Stage:
         )(x, self.coords, self.valid)
 
     def down(self, x, w, kernel, stride, padding, capacity):
-        if self.impl in ("gather", "s2d", "banded"):
+        if self.impl in ("gather", "sgather", "s2d", "banded"):
             # site generation uses ONE flat sort across the batch (a
             # batched [B, 8K] sort lowers ~4x slower on TPU; sparse_conv.
             # downsample_sites_batched)
@@ -146,11 +150,18 @@ class _Stage:
                 padding, capacity,
             )
 
+            # slice form needs x-fastest groups of 3 consecutive ids —
+            # only valid when the kernel's x extent is 3 (the (3,1,1)
+            # z-downsample taps are ny*nx apart, not consecutive)
+            use_slice = self.impl == "sgather" and kernel[2] == 3
+
             def one(f, c, v, oc, ov):
                 st = sc.SparseTensor(f, c, v, self.shape)
                 nbr = sc.strided_neighbor_table(
                     st, oc, ov, kernel, stride, padding
                 )
+                if use_slice:
+                    return sc.slice_gathered_matmul(f, nbr, w, ov)
                 return sc.gathered_matmul(f, nbr, w.reshape(-1, w.shape[-1]), ov)
 
             feats = jax.vmap(one)(x, self.coords, self.valid, ocoords, ovalid)

@@ -249,3 +249,45 @@ def test_neighbor_tables_m3_vs_m9_vs_element(monkeypatch):
     )
     assert (s3 == se).all()
     assert (s9 == se).all()
+
+
+def test_slice_gathered_matmul_matches_gathered_matmul():
+    """The 9-slice-gather form is exact vs the 27-element-gather form, on
+    both the subm and the strided tables, including a saturated active set
+    (every row valid — exercises the end-of-array zero-row padding: a
+    last-real-row anchor must not CLIP-shift onto real rows)."""
+    import deepinteraction_tpu.ops.sparse_conv as sc_mod
+
+    rng = np.random.default_rng(11)
+    for n_active, cap in [(150, 180), (180, 180)]:  # padded + saturated
+        st = _make_sparse(rng, (5, 12, 11), n_active, 8, cap)
+        if n_active == cap:
+            # saturated: fill coords/features of every row (sorted unique)
+            ids = np.sort(rng.permutation(5 * 12 * 11)[:cap])
+            coords = np.stack(
+                [ids // (12 * 11), (ids // 11) % 12, ids % 11], 1
+            ).astype(np.int32)
+            st = SparseTensor(
+                jnp.asarray(rng.normal(size=(cap, 8)).astype(np.float32)),
+                jnp.asarray(coords),
+                jnp.ones((cap,), bool),
+                (5, 12, 11),
+            )
+        w = jnp.asarray(rng.normal(size=(27, 8, 6)).astype(np.float32))
+
+        nbr = sc_mod.subm_neighbor_table(st)
+        ref = np.asarray(sc_mod.gathered_matmul(st.features, nbr, w, st.valid))
+        got = np.asarray(
+            sc_mod.slice_gathered_matmul(st.features, nbr, w, st.valid)
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+        oc, ov, _ = sc_mod.downsample_sites(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), 120)
+        snbr = sc_mod.strided_neighbor_table(
+            st, oc, ov, (3, 3, 3), (2, 2, 2), (1, 1, 1)
+        )
+        sref = np.asarray(sc_mod.gathered_matmul(st.features, snbr, w, ov))
+        sgot = np.asarray(
+            sc_mod.slice_gathered_matmul(st.features, snbr, w, ov)
+        )
+        np.testing.assert_allclose(sgot, sref, atol=2e-4)

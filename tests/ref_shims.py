@@ -311,6 +311,107 @@ def load_reference_encoder_utils():
     return mod
 
 
+def load_reference_fusion_v4():
+    """Load the reference fusion_transformerv4.py (the ++ neck,
+    models/necks/fusion_transformerv4.py) for oracle tests of its pure-torch
+    blocks (MMRI_I2P_Polar, TransSinePositionalEncoding).
+
+    flash_attn does not exist here and ``FlashAttention.forward`` asserts
+    CUDA + fp16 inputs, so after loading it is REPLACED with an exact fp32
+    softmax attention — the same math flash attention computes, minus the
+    fp16 rounding (which the golden comparison should not depend on anyway).
+    Everything else (packed in-projections, decoder layers, ray geometry,
+    grid_sample splat-back) runs the reference's own torch code.
+    mmcv registries / BaseTransformerLayer / MultiScaleDeformableAttention
+    are inert placeholders: the polar block never calls them.
+    """
+    install()
+    name = "ref_fusionv4"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    reg = _mod("mmcv.cnn.bricks.registry")
+    reg.TRANSFORMER_LAYER = _Registry()
+    reg.ATTENTION = _Registry()
+    sys.modules["mmcv.cnn.bricks"].registry = reg
+    bt = sys.modules["mmcv.cnn.bricks.transformer"]
+
+    class _Inert(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    bt.BaseTransformerLayer = _Inert
+    bt.MultiScaleDeformableAttention = _Inert
+    bt.build_transformer_layer = lambda *a, **k: _Inert()
+
+    runner = sys.modules["mmcv.runner"]
+    runner.auto_fp16 = lambda *a, **k: (lambda fn: fn)
+
+    m3d_builder = _mod("mmdet3d.models.builder")
+    m3d_builder.NECKS = _Registry()
+    sys.modules["mmdet3d.models"].builder = m3d_builder
+
+    fa = _mod("flash_attn")
+    fai = _mod("flash_attn.flash_attn_interface")
+    fai.flash_attn_unpadded_kvpacked_func = None  # forward is replaced below
+    fa.flash_attn_interface = fai
+    fbp = _mod("flash_attn.bert_padding")
+    fbp.unpad_input = None
+    fbp.pad_input = None
+    fbp.index_first_axis = None
+    fa.bert_padding = fbp
+
+    # `from projects.mmdet3d_plugin.models.utils.encoder_utils import ...`
+    eu = load_reference_encoder_utils()
+    parts = [
+        "projects",
+        "projects.mmdet3d_plugin",
+        "projects.mmdet3d_plugin.models",
+        "projects.mmdet3d_plugin.models.utils",
+    ]
+    for i, part in enumerate(parts):
+        m = _mod(part)
+        m.__path__ = []
+        if i:
+            setattr(sys.modules[parts[i - 1]], part.rsplit(".", 1)[1], m)
+    sys.modules["projects.mmdet3d_plugin.models.utils"].encoder_utils = eu
+    sys.modules["projects.mmdet3d_plugin.models.utils.encoder_utils"] = eu
+
+    spec = importlib.util.spec_from_file_location(
+        name, f"{REF}/models/necks/fusion_transformerv4.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+
+    import math
+
+    def _exact_flash_forward(self, q, kv, causal=False, key_padding_mask=None):
+        # q [B, Sq, H, D]; kv [B, Sk, 2, H, D] (batched: no padding mask in
+        # the polar path). Exact softmax attention == flash attention math.
+        assert not causal and key_padding_mask is None
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        scale = self.softmax_scale or 1.0 / math.sqrt(q.shape[-1])
+        att = torch.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        att = att.softmax(dim=-1)
+        return torch.einsum("bhqk,bkhd->bqhd", att, v), None
+
+    mod.FlashAttention.forward = _exact_flash_forward
+    # torch>=2.0 TransformerDecoderLayer reads .batch_first off the attention
+    # module for a fast-path check; the reference's wrapper asserts
+    # batch_first in __init__ but never stores it.
+    mod.FlashMultiheadAttention.batch_first = True
+    # ... and passes is_causal=, which the reference's signature predates.
+    _fmha_fwd = mod.FlashMultiheadAttention.forward
+
+    def _fmha_forward(self, q, k, v, is_causal=False, **kw):
+        assert not is_causal
+        return _fmha_fwd(self, q, k, v, **kw)
+
+    mod.FlashMultiheadAttention.forward = _fmha_forward
+    return mod
+
+
 def load_reference_swin():
     """Load the reference swin.py with ``.swin_utils`` stubbed (only needed
     for the full backbone's patch embed / converter, not SwinBlock)."""

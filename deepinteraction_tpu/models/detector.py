@@ -15,6 +15,7 @@ Expected batch dict (all arrays, static shapes):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -45,12 +46,24 @@ class DeepInteraction(nn.Module):
             return self._lidar_only(batch, train)
         b, v = batch["images"].shape[0], batch["images"].shape[1]
 
+        # DI_DENSE_BF16=1 (eval only): run the dense conv backbones/necks
+        # with bf16 activations (params stay f32, outputs cast back). The
+        # MXU already multiplies at bf16 by default — this halves the
+        # activation HBM traffic these stages are actually bound by.
+        # Quality-gated deviation; default off (strict f32 parity).
+        dense_dt = (
+            jnp.bfloat16
+            if (not train and os.environ.get("DI_DENSE_BF16", "0") == "1")
+            else None
+        )
+
         # ---- image branch (frozen in the shipped configs) ----
         imgs = batch["images"].reshape((b * v,) + batch["images"].shape[2:])
         if cfg.img_backbone.type == "resnet":
             feats = ResNet(
                 depth=cfg.img_backbone.depth,
                 out_indices=cfg.img_backbone.out_indices,
+                dtype=dense_dt,
                 name="img_backbone",
             )(imgs, train=train and cfg.img_backbone.frozen_stages < 0)
         else:
@@ -68,8 +81,11 @@ class DeepInteraction(nn.Module):
         fpn_feats = FPN(
             out_channels=cfg.img_neck.out_channels,
             num_outs=cfg.img_neck.num_outs,
+            dtype=dense_dt,
             name="img_neck",
         )(feats, train)
+        if dense_dt is not None:
+            fpn_feats = [f.astype(jnp.float32) for f in fpn_feats]
         unflat = lambda x: x.reshape((b, v) + x.shape[1:])
         img_feats = unflat(fpn_feats[0])
 
@@ -94,13 +110,17 @@ class DeepInteraction(nn.Module):
             out_channels=cfg.pts_backbone.out_channels,
             layer_nums=cfg.pts_backbone.layer_nums,
             layer_strides=cfg.pts_backbone.layer_strides,
+            dtype=dense_dt,
             name="pts_backbone",
         )(bev, train)
         neck_outs = SECONDFPN(
             out_channels=cfg.pts_neck.out_channels,
             upsample_strides=cfg.pts_neck.upsample_strides,
+            dtype=dense_dt,
             name="pts_neck",
         )(sec, train)
+        if dense_dt is not None:
+            neck_outs = [f.astype(jnp.float32) for f in neck_outs]
         pts_feats = neck_outs[0]  # 512-ch concat map
 
         # ---- pillars for I2P ----

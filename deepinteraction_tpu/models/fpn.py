@@ -9,7 +9,7 @@ convs, extra levels by stride-2 max-pool on the last output. Only level 0
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,12 +24,13 @@ def _upsample_nearest_2x(x: jnp.ndarray, target_hw) -> jnp.ndarray:
 class FPN(nn.Module):
     out_channels: int = 256
     num_outs: int = 5
+    dtype: Any = None  # activation dtype (params stay f32); see resnet.py
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
         n = len(inputs)
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral{i}")(inputs[i])
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"lateral{i}")(inputs[i])
             for i in range(n)
         ]
         for i in range(n - 1, 0, -1):
@@ -37,7 +38,7 @@ class FPN(nn.Module):
                 laterals[i], laterals[i - 1].shape[-3:-1]
             )
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=1, name=f"fpn{i}")(laterals[i])
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name=f"fpn{i}")(laterals[i])
             for i in range(n)
         ]
         for _ in range(self.num_outs - n):

@@ -133,6 +133,24 @@ class MMRI_I2P(nn.Module):
         def pad(x):
             return jnp.pad(x, [(0, kpad - kp)] + [(0, 0)] * (x.ndim - 1))
 
+        # DI_I2P_UNROLL=1 (eval only): run the chunk bodies as straight-line
+        # code instead of lax.map — removes the while-loop boundary
+        # materializations (a measured copy/reshape bucket in the device
+        # traces) at the cost of a larger live working set. Bit-identical
+        # outputs; training keeps the loop (remat relies on it).
+        unroll = (not train) and os.environ.get("DI_I2P_UNROLL", "0") == "1"
+
+        def chunk_loop(fn, xs):
+            if not unroll:
+                return jax.lax.map(jax.checkpoint(fn), xs)
+            parts = [
+                fn(jax.tree_util.tree_map(lambda a: a[i], xs))
+                for i in range(n_chunks)
+            ]
+            return tuple(
+                jnp.stack([pp[j] for pp in parts]) for j in range(len(parts[0]))
+            )
+
         def attend(qh, keys, kmask):
             kh = keys @ wk.astype(cdt) + bk.astype(cdt)
             vh = keys @ wv.astype(cdt) + bv.astype(cdt)
@@ -184,8 +202,8 @@ class MMRI_I2P(nn.Module):
                 keys = sampled.reshape(chunk, nv * p, c).astype(cdt)
                 return attend(qh, keys, kmask)
 
-            outs, any_key = jax.lax.map(
-                jax.checkpoint(chunk_fn),
+            outs, any_key = chunk_loop(
+                chunk_fn,
                 (
                     pad(qh_all).reshape(n_chunks, chunk, c),
                     pad(gsel_a).reshape(n_chunks, chunk, nv, p, 2),
@@ -253,8 +271,8 @@ class MMRI_I2P(nn.Module):
 
             # remat: the backward pass re-samples each chunk instead of
             # storing every chunk's keys (trades cheap gathers for ~GBs)
-            outs, any_key = jax.lax.map(
-                jax.checkpoint(chunk_fn),
+            outs, any_key = chunk_loop(
+                chunk_fn,
                 (
                     pad(pil).reshape(n_chunks, chunk, p, pil.shape[-1]),
                     pad(cnt).reshape(n_chunks, chunk),

@@ -7,11 +7,16 @@ of each bottleneck = 'pytorch' style).
 
 Freezing is a trainer concern here (zero-grad masks + BN in eval mode), not
 a graph concern: the module itself is pure.
+
+``dtype`` is the activation/computation dtype (params stay f32): the dense
+image branch is HBM-bandwidth-bound on TPU at f32 activations (the MXU
+already multiplies at bf16 by default), so eval can run it at bf16 via
+DI_DENSE_BF16 (see detector.py) for ~half the activation traffic.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -21,18 +26,20 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     bn_momentum: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         identity = x
-        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1, use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, name="bn1")(y)
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1, use_bias=False, dtype=dt, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, dtype=dt, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, name="bn2")(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, dtype=dt, name="bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            identity = nn.Conv(self.features, (1, 1), (self.stride, self.stride), use_bias=False, name="downsample_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, name="downsample_bn")(identity)
+            identity = nn.Conv(self.features, (1, 1), (self.stride, self.stride), use_bias=False, dtype=dt, name="downsample_conv")(x)
+            identity = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, dtype=dt, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -40,22 +47,24 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output = 4x
     stride: int = 1
     bn_momentum: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         identity = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, name="bn1")(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=dt, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, dtype=dt, name="bn1")(y)
         y = nn.relu(y)
         # 'pytorch' style: stride on the 3x3
-        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1, use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, name="bn2")(y)
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1, use_bias=False, dtype=dt, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, dtype=dt, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, name="bn3")(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=dt, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, dtype=dt, name="bn3")(y)
         if self.stride != 1 or x.shape[-1] != self.features * 4:
-            identity = nn.Conv(self.features * 4, (1, 1), (self.stride, self.stride), use_bias=False, name="downsample_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, name="downsample_bn")(identity)
+            identity = nn.Conv(self.features * 4, (1, 1), (self.stride, self.stride), use_bias=False, dtype=dt, name="downsample_conv")(x)
+            identity = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, dtype=dt, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -71,12 +80,15 @@ class ResNet(nn.Module):
     depth: int = 50
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     bn_momentum: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         block, stage_blocks = _SPECS[self.depth]
-        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, name="bn1")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=1 - self.bn_momentum, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         # torch maxpool 3x3 s2 p1
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
@@ -85,7 +97,7 @@ class ResNet(nn.Module):
         for i, (n, w) in enumerate(zip(stage_blocks, widths)):
             for j in range(n):
                 stride = 2 if (i > 0 and j == 0) else 1
-                x = block(w, stride, self.bn_momentum, name=f"layer{i + 1}_{j}")(x, train)
+                x = block(w, stride, self.bn_momentum, self.dtype, name=f"layer{i + 1}_{j}")(x, train)
             if i in self.out_indices:
                 outs.append(x)
         return outs

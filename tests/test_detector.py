@@ -72,3 +72,23 @@ def test_detector_outputs_finite(detector_outputs):
     for k, v in preds.items():
         arr = np.asarray(v)
         assert np.isfinite(arr).all(), f"{k} has non-finite values"
+
+
+def test_dense_bf16_knob_runs_and_tracks_f32(monkeypatch):
+    """DI_DENSE_BF16=1 (bf16 activations in ResNet/FPN/SECOND/SECONDFPN,
+    eval only) produces finite outputs that track the f32 graph. Not
+    bit-exact by design — the quality gate for the default lives in PERF.md."""
+    cfg = tiny_config()
+    rng = np.random.default_rng(2)
+    batch = make_tiny_batch(rng, cfg)
+    model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
+    monkeypatch.delenv("DI_DENSE_BF16", raising=False)
+    vars_ = model.init(jax.random.PRNGKey(0), batch, False)
+    ref = model.apply(vars_, batch, False)
+    monkeypatch.setenv("DI_DENSE_BF16", "1")
+    out = model.apply(vars_, batch, False)
+    for k in ("center", "dim", "rot", "height"):
+        a, b = np.asarray(out[k]), np.asarray(ref[k])
+        assert np.isfinite(a).all(), k
+        # bf16 has ~3 decimal digits; the decoder output should stay close
+        np.testing.assert_allclose(a, b, rtol=0.15, atol=0.15)

@@ -136,3 +136,33 @@ def test_hoisted_geometry_matches_inchunk():
         hoisted = np.asarray(mod.apply(vars_, *args, geom=geom))
         np.testing.assert_array_equal(hoisted, inchunk)
         assert np.abs(inchunk).max() > 0
+
+
+def test_unrolled_chunks_match_lax_map(monkeypatch):
+    """DI_I2P_UNROLL=1 (straight-line chunk bodies) is bit-identical to the
+    lax.map loop on both the in-chunk and hoisted-geometry paths."""
+    from deepinteraction_tpu.models.mmri_encoder import i2p_geometry
+
+    rng = np.random.default_rng(5)
+    fx = _fixture(rng)
+    geom = i2p_geometry(
+        fx["pillars"], fx["counts"], fx["l2i"], fx["aug_inv"],
+        fx["input_shape"], 2,
+    )
+    mod = MMRI_I2P(fx["c"], fx["p"] * fx["v"], chunk=8, n_views=2,
+                   sample_mode="nearest")
+    args = (
+        fx["lidar_feat"], fx["img_feats"], fx["pillars"], fx["counts"],
+        fx["coords"], fx["valid"], fx["l2i"], fx["aug_inv"],
+        fx["input_shape"], False,
+    )
+    vars_ = mod.init(jax.random.PRNGKey(1), *args)
+    monkeypatch.delenv("DI_I2P_UNROLL", raising=False)
+    looped = np.asarray(mod.apply(vars_, *args))
+    looped_g = np.asarray(mod.apply(vars_, *args, geom=geom))
+    monkeypatch.setenv("DI_I2P_UNROLL", "1")
+    unrolled = np.asarray(mod.apply(vars_, *args))
+    unrolled_g = np.asarray(mod.apply(vars_, *args, geom=geom))
+    np.testing.assert_array_equal(unrolled, looped)
+    np.testing.assert_array_equal(unrolled_g, looped_g)
+    assert np.abs(looped).max() > 0

@@ -385,6 +385,7 @@ class FusionTransformerPP(nn.Module):
             img_shapes[0],
             self.input_shape,
             self.pc_range,
+            train=train,
         )
 
         new_img, new_pts = ms_img[0], ms_pts[0]

@@ -395,6 +395,7 @@ def bevwarp_grid(
     feat_shape: Tuple[int, int],  # (hc, wc) of the camera FEATURE map
     input_shape: Tuple[int, int],  # (ih, iw) padded camera image
     pc_range,
+    train: bool = False,
 ):
     """The geometry half of BEVWarp: per-view densified depth maps
     back-projected to BEV sampling coordinates.
@@ -478,7 +479,8 @@ def bevwarp_grid(
 
             dms = jax.vmap(scatter_one)(depth, fx, fy, ok)
         dms = jnp.where(jnp.isfinite(dms), dms, 0.0)
-        dms = fill_in_multiscale(dms)
+        lite = (not train) and os.environ.get("DI_DEPTH_FILL_LITE", "0") == "1"
+        dms = fill_in_multiscale(dms, lite=lite)
 
         # back-project every feature pixel to LiDAR frame
         xs = jnp.linspace(0.0, iw - 1.0, wc)
@@ -541,6 +543,7 @@ class BEVWarp(nn.Module):
             grid = bevwarp_grid(
                 points, points_mask, lidar2img, img2lidar, lidar_aug,
                 lidar_aug_inv, (hc, wc), input_shape, self.pc_range,
+                train=train,
             )
         uv, ok = grid
 
@@ -654,6 +657,7 @@ class MMRIEncoder(nn.Module):
             (img.shape[2], img.shape[3]),
             self.input_shape,
             self.pc_range,
+            train=train,
         )
         # I2P projection geometry: same hoist as the warp grid (the
         # projection + top-view selection depends only on points and

@@ -110,12 +110,21 @@ def bilateral5(img, sigma_color=0.5, sigma_space=2.0):
     return num / jnp.maximum(den, 1e-20)
 
 
-def fill_in_multiscale(depth: jnp.ndarray, max_depth: float = 100.0) -> jnp.ndarray:
+def fill_in_multiscale(
+    depth: jnp.ndarray, max_depth: float = 100.0, lite: bool = False
+) -> jnp.ndarray:
     """Dense depth from sparse depth, [..., H, W] -> [..., H, W].
 
     Faithful port of reference depth_map_utils.fill_in_multiscale with
     extrapolate=False, blur_type='bilateral' (the call-site settings,
     encoder_utils.py:175-177).
+
+    ``lite`` (DI_DEPTH_FILL_LITE at the BEVWarp call site, eval only;
+    quality-gated deviation — see docs/DESIGN.md): 2 hole-extension
+    dilations instead of 6 and no final median/bilateral smoothing. The
+    filled depth only steers which image row BEVWarp samples per BEV cell,
+    so smoothing precision matters far less than at the reference's
+    original depth-completion use. Default off (exact reference semantics).
     """
     d_in = depth.astype(jnp.float32)
     near = (d_in > 0.1) & (d_in <= 15.0)
@@ -149,16 +158,18 @@ def fill_in_multiscale(depth: jnp.ndarray, max_depth: float = 100.0) -> jnp.ndar
     top_row = jnp.argmax(s5 > 0.1, axis=-2)
     top_mask = rows >= top_row[..., None, :]
     s7 = s5
-    for _ in range(6):
+    for _ in range(2 if lite else 6):
         empty = (s7 < 0.1) & top_mask
         s7 = jnp.where(empty, dilate(s7, FULL_5), s7)
 
-    blur = median5(s7)
-    valid = (s7 > 0.1) & top_mask
-    s7 = jnp.where(valid, blur, s7)
+    if not lite:
+        blur = median5(s7)
+        valid = (s7 > 0.1) & top_mask
+        s7 = jnp.where(valid, blur, s7)
 
-    # reference quirk: bilateral write-back reuses the pre-median valid mask
-    blur = bilateral5(s7, 0.5, 2.0)
-    s7 = jnp.where(valid, blur, s7)
+        # reference quirk: bilateral write-back reuses the pre-median
+        # valid mask
+        blur = bilateral5(s7, 0.5, 2.0)
+        s7 = jnp.where(valid, blur, s7)
 
     return jnp.where(s7 > 0.1, max_depth - s7, s7)

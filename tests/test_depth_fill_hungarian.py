@@ -79,3 +79,29 @@ def test_hungarian_batched_and_padded():
                 r, c = linear_sum_assignment(cost[i, j][:, :ng])
                 expect[r] = c
             np.testing.assert_array_equal(out[i, j], expect)
+
+
+def test_depth_fill_lite_structure():
+    """lite=True keeps the fill's structure (valid pixels stay valid, holes
+    above the first return stay empty, values near-identical where both
+    fill) while skipping the final smoothing passes."""
+    rng = np.random.default_rng(0)
+    d = np.zeros((2, 24, 32), np.float32)
+    ys = rng.integers(4, 24, size=(2, 60))
+    xs = rng.integers(0, 32, size=(2, 60))
+    for b in range(2):
+        d[b, ys[b], xs[b]] = rng.uniform(2.0, 80.0, 60).astype(np.float32)
+    exact = np.asarray(fill_in_multiscale(jnp.asarray(d)))
+    lite = np.asarray(fill_in_multiscale(jnp.asarray(d), lite=True))
+    # default is the exact path
+    assert np.array_equal(
+        exact, np.asarray(fill_in_multiscale(jnp.asarray(d)))
+    )
+    # every exact-filled pixel that lite also fills agrees to the
+    # smoothing tolerance; lite may fill slightly fewer hole pixels
+    both = (exact > 0.1) & (lite > 0.1)
+    assert both.mean() > 0.5
+    diff = np.abs(exact[both] - lite[both])
+    assert np.median(diff) < 2.0
+    # lite never invents depth where the exact fill has none
+    assert ((lite > 0.1) & ~(exact > 0.1)).mean() < 0.05

@@ -291,3 +291,29 @@ def test_slice_gathered_matmul_matches_gathered_matmul():
             sc_mod.slice_gathered_matmul(st.features, snbr, w, ov)
         )
         np.testing.assert_allclose(sgot, sref, atol=2e-4)
+
+
+def test_slice_gathered_matmul_grads_match():
+    """sgather is selectable as the TRAIN impl (DI_SPARSE_TRAIN_IMPL):
+    its gradients w.r.t. features and weights must match the element-gather
+    form's."""
+    import jax
+
+    import deepinteraction_tpu.ops.sparse_conv as sc_mod
+
+    rng = np.random.default_rng(13)
+    st = _make_sparse(rng, (5, 12, 11), 150, 8, 180)
+    w = jnp.asarray(rng.normal(size=(27, 8, 6)).astype(np.float32))
+    nbr = sc_mod.subm_neighbor_table(st)
+
+    def loss(fn, feats, w):
+        return jnp.sum(fn(feats, nbr, w, st.valid) ** 2)
+
+    gref = jax.grad(lambda f, w: loss(sc_mod.gathered_matmul, f, w), (0, 1))(
+        st.features, w
+    )
+    ggot = jax.grad(
+        lambda f, w: loss(sc_mod.slice_gathered_matmul, f, w), (0, 1)
+    )(st.features, w)
+    np.testing.assert_allclose(np.asarray(ggot[0]), np.asarray(gref[0]), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(ggot[1]), np.asarray(gref[1]), atol=3e-3)

@@ -187,6 +187,92 @@ RULES: List[Tuple[str, str]] = [
             f"{m.group(2).lower()}_{m.group(3)}", int(m.group(4)), m.group(5)
         ),
     ),
+    # ---------------- FusionTransformerv4 (++ neck) ----------------
+    # reference fusion_transformerv4.py:26-141; layer specs
+    # Fusion_0075_plusplus.py:210-271. BaseTransformerLayer containers are
+    # mmcv-owned naming: attentions.N / ffns.N / norms.N (ModuleList order
+    # = operation_order scan); mmcv FFN nests layers.0.0 / layers.1; mmcv
+    # MSDA leaves are sampling_offsets/attention_weights/value_proj/
+    # output_proj (multi_scale_deform_attn.py).
+    (
+        r"imgpts_neck\.multi_scale_conv_(img|pts)\.(weight|bias)",
+        "params:imgpts_neck/multi_scale_conv_\\g<1>/\\g<2>",
+    ),
+    (
+        r"imgpts_neck\.(img|pts)_fusion_blocks\.(\d)\.scale",
+        "params:imgpts_neck/\\g<1>_layer\\g<2>/scale",
+    ),
+    (
+        r"imgpts_neck\.(img|pts)_fusion_blocks\.(\d)\.attentions\.0\."
+        r"(sampling_offsets|attention_weights|value_proj|output_proj)\.(weight|bias)",
+        "params:imgpts_neck/\\g<1>_layer\\g<2>/self_attn/\\g<3>/\\g<4>",
+    ),
+    (
+        r"imgpts_neck\.img_fusion_blocks\.(\d)\.attentions\.1\.Local\."
+        r"(sampling_offsets|attention_weights|value_proj|output_proj)\.(weight|bias)",
+        "params:imgpts_neck/img_layer\\g<1>/p2i/local/\\g<2>/\\g<3>",
+    ),
+    # MMRI_I2P_Polar (pts attentions.1): nn.Transformer with a 0-layer
+    # encoder (only its final norm) + 1 custom decoder layer
+    (
+        r"imgpts_neck\.pts_fusion_blocks\.(\d)\.attentions\.1\.transformer_layers\."
+        r"encoder\.norm\.(weight|bias)",
+        "params:imgpts_neck/pts_layer\\g<1>/polar_i2p/enc_out_norm/\\g<2>",
+    ),
+    (
+        r"imgpts_neck\.pts_fusion_blocks\.(\d)\.attentions\.1\.transformer_layers\."
+        r"decoder\.norm\.(weight|bias)",
+        "params:imgpts_neck/pts_layer\\g<1>/polar_i2p/dec_out_norm/\\g<2>",
+    ),
+    (
+        r"imgpts_neck\.pts_fusion_blocks\.(\d)\.attentions\.1\.transformer_layers\."
+        r"decoder\.layers\.0\.(self_attn|multihead_attn)\.in_proj_(weight|bias)",
+        lambda m: f"params:imgpts_neck/pts_layer{m.group(1)}/polar_i2p/dec_"
+        + ("self_attn" if m.group(2) == "self_attn" else "cross_attn")
+        + f"/in_proj_{m.group(3)}_packed",
+    ),
+    (
+        r"imgpts_neck\.pts_fusion_blocks\.(\d)\.attentions\.1\.transformer_layers\."
+        r"decoder\.layers\.0\.(self_attn|multihead_attn)\.out_proj\.(weight|bias)",
+        lambda m: f"params:imgpts_neck/pts_layer{m.group(1)}/polar_i2p/dec_"
+        + ("self_attn" if m.group(2) == "self_attn" else "cross_attn")
+        + f"/out_proj/{m.group(3)}",
+    ),
+    (
+        r"imgpts_neck\.pts_fusion_blocks\.(\d)\.attentions\.1\.transformer_layers\."
+        r"decoder\.layers\.0\.linear(\d)\.(weight|bias)",
+        lambda m: f"params:imgpts_neck/pts_layer{m.group(1)}/polar_i2p/dec_ffn/"
+        f"fc{int(m.group(2)) - 1}/{m.group(3)}",
+    ),
+    (
+        r"imgpts_neck\.pts_fusion_blocks\.(\d)\.attentions\.1\.transformer_layers\."
+        r"decoder\.layers\.0\.norm(\d)\.(weight|bias)",
+        "params:imgpts_neck/pts_layer\\g<1>/polar_i2p/dec_norm\\g<2>/\\g<3>",
+    ),
+    # ++ MMRI_I2P (pts attentions.2): kdim == vdim == embed_dims so torch
+    # packs the in-projection (unlike v1's 256-ch kdim, unpacked above)
+    (
+        r"imgpts_neck\.pts_fusion_blocks\.(\d)\.attentions\.2\.learnedAlign\."
+        r"in_proj_(weight|bias)",
+        "params:imgpts_neck/pts_layer\\g<1>/i2p/in_proj_\\g<2>_packed",
+    ),
+    (
+        r"imgpts_neck\.pts_fusion_blocks\.(\d)\.attentions\.2\.learnedAlign\."
+        r"out_proj\.(weight|bias)",
+        "params:imgpts_neck/pts_layer\\g<1>/i2p/out_proj/\\g<2>",
+    ),
+    (
+        r"imgpts_neck\.(img|pts)_fusion_blocks\.(\d)\.ffns\.(\d)\.layers\.0\.0\.(weight|bias)",
+        "params:imgpts_neck/\\g<1>_layer\\g<2>/ffn\\g<3>/fc0/\\g<4>",
+    ),
+    (
+        r"imgpts_neck\.(img|pts)_fusion_blocks\.(\d)\.ffns\.(\d)\.layers\.1\.(weight|bias)",
+        "params:imgpts_neck/\\g<1>_layer\\g<2>/ffn\\g<3>/fc1/\\g<4>",
+    ),
+    (
+        r"imgpts_neck\.(img|pts)_fusion_blocks\.(\d)\.norms\.(\d)\.(weight|bias)",
+        "params:imgpts_neck/\\g<1>_layer\\g<2>/norm\\g<3>/\\g<4>",
+    ),
     # ---------------- decoder head ----------------
     (r"pts_bbox_head\.heatmap_head\.0\.conv\.(weight|bias)", "params:pts_bbox_head/heatmap_head_0/conv/\\g<1>"),
     (r"pts_bbox_head\.heatmap_head\.0\.bn\.(.+)", "params:pts_bbox_head/heatmap_head_0/bn/\\g<1>"),
@@ -254,7 +340,57 @@ RULES: List[Tuple[str, str]] = [
         r"pts_bbox_head\.pred_head\.(\d)\.(\w+)\.1\.(weight|bias)",
         "params:pts_bbox_head/mmpi\\g<1>_pred/\\g<2>/out/\\g<3>",
     ),
+    # ---------------- MMPI decode_head blocks (v1 + ++ V2) ----------------
+    # decode_head.{i}: even = ImageRCNNBlock(V2), odd = PointRCNNBlock(V2)
+    # (deepinteraction_decoder.py:105-132 / plusplus_decoder.py:125-148).
+    # Point blocks suffix their attribute names with _pts; V2 adds the two
+    # scale scalars, self_norm and plain-Sequential ffn/self_ffn
+    # (layers.0 / layers.3 Linears). Ours: pts_bbox_head/mmpi{i}_{kind}/core.
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.dyconv(_pts)?\.(dynamic_layer|out_layer)\.(weight|bias)",
+        lambda m: _mmpi(m.group(1)) + f"/dyconv/{m.group(3)}/{m.group(4)}",
+    ),
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.dyconv(_pts)?\.norm(\d)\.(weight|bias)",
+        lambda m: _mmpi(m.group(1)) + f"/dyconv/norm{m.group(3)}/{m.group(4)}",
+    ),
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.dyconv_pre_self_attn(_pts)?\.in_proj_(weight|bias)",
+        lambda m: _mmpi(m.group(1)) + f"/self_attn/in_proj_{m.group(3)}_packed",
+    ),
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.dyconv_pre_self_attn(_pts)?\.out_proj\.(weight|bias)",
+        lambda m: _mmpi(m.group(1)) + f"/self_attn/out_proj/{m.group(3)}",
+    ),
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.norm(\d)(_pts)?\.(weight|bias)",
+        lambda m: _mmpi(m.group(1)) + f"/norm{m.group(2)}/{m.group(4)}",
+    ),
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.linear(\d)(_pts)?\.(weight|bias)",
+        lambda m: _mmpi(m.group(1)) + f"/linear{m.group(2)}/{m.group(4)}",
+    ),
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.(scale|self_scale)$",
+        lambda m: _mmpi(m.group(1)) + f"/{m.group(2)}",
+    ),
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.self_norm(_pts)?\.(weight|bias)",
+        lambda m: _mmpi(m.group(1)) + f"/self_norm/{m.group(3)}",
+    ),
+    (
+        r"pts_bbox_head\.decode_head\.(\d)\.(self_ffn|ffn)\.layers\.([03])\.(weight|bias)",
+        lambda m: _mmpi(m.group(1))
+        + ("/self_ffn_fc" if m.group(2) == "self_ffn" else "/ffn_fc")
+        + ("0" if m.group(3) == "0" else "1")
+        + f"/{m.group(4)}",
+    ),
 ]
+
+
+def _mmpi(i: str) -> str:
+    kind = "img" if int(i) % 2 == 0 else "pts"
+    return f"params:pts_bbox_head/mmpi{i}_{kind}/core"
 
 
 def _second_key(block: int, idx: int, leaf: str) -> str:
@@ -422,20 +558,13 @@ def load_into_tree(target: Dict[str, Any], flat: Dict[str, np.ndarray]):
 
     new_tree = {}
     for coll in target:
-        paths = jax.tree_util.tree_flatten_with_path(target[coll])[0]
-        rebuilt = target[coll]
-        flat_new = {}
+        # Rebuild with the ORIGINAL treedef: some modules use literal
+        # slashes inside one param name (MMRI_I2P's "q_proj/kernel"), so
+        # re-nesting by splitting the joined path would corrupt the tree.
+        paths, treedef = jax.tree_util.tree_flatten_with_path(target[coll])
+        leaves = []
         for p, leaf in paths:
             keypath = [str(getattr(k, "key", k)) for k in p]
-            flat_new["/".join(keypath)] = visit(coll, keypath, leaf)
-        # rebuild nested
-        nested: Dict[str, Any] = {}
-        for k, v in flat_new.items():
-            node = nested
-            parts = k.split("/")
-            for q in parts[:-1]:
-                node = node.setdefault(q, {})
-            node[parts[-1]] = v
-        new_tree[coll] = nested
-        del rebuilt
+            leaves.append(visit(coll, keypath, leaf))
+        new_tree[coll] = jax.tree_util.tree_unflatten(treedef, leaves)
     return new_tree, missing, shape_errors

@@ -236,9 +236,13 @@ def install() -> None:
     d2 = _mod("detectron2")
     d2_mod = _mod("detectron2.modeling")
     d2_pool = _mod("detectron2.modeling.poolers")
-    d2_pool.ROIPooler = object
+    class _AnyArgs:
+        def __init__(self, *a, **k):
+            pass
+
+    d2_pool.ROIPooler = _AnyArgs
     d2_struct = _mod("detectron2.structures")
-    d2_struct.Boxes = object
+    d2_struct.Boxes = _AnyArgs
     d2.modeling = d2_mod
     d2_mod.poolers = d2_pool
     d2.structures = d2_struct

@@ -29,6 +29,14 @@ def main():
     import torch
 
     import jax
+
+    # env var alone is not reliably honored when a TPU plugin is registered
+    # (see tools/train.py); make `JAX_PLATFORMS=cpu` authoritative
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    cache_dir = os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
     import jax.numpy as jnp
 
     from deepinteraction_tpu.models.detector import DeepInteraction

@@ -25,6 +25,13 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
     import jax.numpy as jnp
 
     from deepinteraction_tpu.models.detector import DeepInteraction

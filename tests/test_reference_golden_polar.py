@@ -188,3 +188,97 @@ def test_polar_i2p_golden():
     )
     out = np.asarray(out).transpose(0, 3, 1, 2)  # [1, C, Hb, Wb]
     np.testing.assert_allclose(out, golden, rtol=2e-4, atol=2e-4)
+
+
+def test_polar_i2p_converter_rules_match_golden():
+    """The torch_convert RULES produce the same polar weight mapping the
+    golden test builds by hand: converting the reference module's
+    state_dict (under its real checkpoint prefix) and running our PolarI2P
+    with the result reproduces the reference output."""
+    from deepinteraction_tpu.utils.torch_convert import convert_state_dict
+
+    rng = np.random.default_rng(9)
+    c, v, h, w, hb, wb = 64, 2, 12, 16, 20, 20
+    ih, iw = h * 4, w * 4
+    pc_range = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+
+    ref = V4.MMRI_I2P_Polar(
+        embed_dims=c, dropout=0.0, pc_range=list(pc_range)
+    ).eval()
+    import types as _types
+
+    def _enc_forward(self, src, mask=None, src_key_padding_mask=None, **kw):
+        out = src
+        for mod in self.layers:
+            out = mod(out, src_mask=mask)
+        return self.norm(out) if self.norm is not None else out
+
+    enc = ref.transformer_layers.encoder
+    enc.forward = _types.MethodType(_enc_forward, enc)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.data = torch.tensor(
+                rng.normal(scale=0.05, size=tuple(p.shape)).astype(np.float32)
+            )
+
+    lidar_feat = rng.normal(size=(1, c, hb, wb)).astype(np.float32)
+    img_feat = rng.normal(size=(v, c, h, w)).astype(np.float32)
+    lidar2img, cam2lidar, intr = _cams(v)
+    img_metas = [
+        {
+            "lidar2img": lidar2img,
+            "cam_intrinsic": intr,
+            "cam2lidar": cam2lidar,
+            "input_shape": (ih, iw),
+        }
+    ]
+    with torch.no_grad():
+        golden = _t2n(
+            ref(
+                torch.tensor(lidar_feat),
+                torch.tensor(img_feat),
+                img_metas,
+                pts_metas=None,
+            )
+        )
+
+    # convert through the REAL rules table under the checkpoint prefix
+    sd = {
+        f"imgpts_neck.pts_fusion_blocks.0.attentions.1.{k}": v_.numpy()
+        for k, v_ in ref.state_dict().items()
+    }
+    flat, unmatched = convert_state_dict(sd)
+    assert not unmatched
+    prefix = "params:imgpts_neck/pts_layer0/polar_i2p/"
+    params = {}
+    for k, v_ in flat.items():
+        assert k.startswith(prefix), k
+        node = params
+        parts = k[len(prefix):].split("/")
+        for q in parts[:-1]:
+            node = node.setdefault(q, {})
+        node[parts[-1]] = v_
+
+    cfg = MMRIEncoderConfig(
+        variant="pp", hidden_channel=c, num_heads=8, dropout=0.0
+    )
+    mine = PolarI2P(cfg, pc_range, (ih, iw))
+    eye = np.eye(4, dtype=np.float32)[None]
+    batch = {
+        "lidar2img": jnp.asarray(lidar2img)[None],
+        "img2lidar": jnp.asarray(np.linalg.inv(lidar2img.astype(np.float64)))[
+            None
+        ].astype(jnp.float32),
+        "cam2lidar": jnp.asarray(cam2lidar)[None],
+        "lidar_aug": jnp.asarray(eye),
+        "lidar_aug_inv": jnp.asarray(eye),
+    }
+    out = mine.apply(
+        {"params": params},
+        jnp.asarray(lidar_feat.transpose(0, 2, 3, 1)),
+        jnp.asarray(img_feat.transpose(0, 2, 3, 1))[None],
+        batch,
+        False,
+    )
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, golden, rtol=5e-4, atol=5e-4)

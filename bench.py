@@ -36,36 +36,14 @@ WARMUP = 3
 ITERS = 10
 
 
-def _require_live_backend(timeout_s: float = 180.0) -> None:
-    """Fail fast (and loud) if the device backend can't be reached.
-
-    Backend init under the axon tunnel HANGS indefinitely when the tunnel
-    is down (no connect timeout) — a bench run would then die as a silent
-    driver timeout with an empty log. Probe in a subprocess with a bounded
-    wait so the failure mode is a 1-line diagnosis in seconds instead.
-    """
-    import subprocess
+def main() -> None:
+    from deepinteraction_tpu.utils.backend import require_live_backend
 
     try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            check=True,
-            capture_output=True,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"bench.py: device backend unreachable (init exceeded "
-            f"{timeout_s:.0f}s — axon tunnel down?); aborting instead of "
-            "hanging",
-            file=sys.stderr,
-            flush=True,
-        )
+        require_live_backend()
+    except RuntimeError as e:
+        print(f"bench.py: {e}", file=sys.stderr, flush=True)
         raise SystemExit(3)
-
-
-def main() -> None:
-    _require_live_backend()
     cfg = fusion_base_config()
     batch_np = make_synthetic_batch(cfg, b=1, seed=0)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}

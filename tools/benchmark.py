@@ -34,6 +34,10 @@ def main():
     # (see tools/train.py)
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from deepinteraction_tpu.utils.backend import require_live_backend
+
+    require_live_backend()  # bounded probe: a dead TPU tunnel fails loudly
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),

@@ -43,6 +43,10 @@ def main():
     # honored on this runtime — see tools/train.py)
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from deepinteraction_tpu.utils.backend import require_live_backend
+
+    require_live_backend()  # bounded probe: a dead TPU tunnel fails loudly
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     import jax.numpy as jnp

@@ -85,6 +85,9 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
+    from deepinteraction_tpu.utils.backend import require_live_backend
+
+    require_live_backend()  # bounded probe: a dead TPU tunnel fails loudly
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

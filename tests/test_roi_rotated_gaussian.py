@@ -130,3 +130,39 @@ def test_rotated_nms():
     scores = jnp.asarray([0.5, 0.9, 0.1])
     keep = np.asarray(rotated_nms(boxes, scores, jnp.ones(3, bool), 0.3))
     np.testing.assert_array_equal(keep, [False, True, True])
+
+
+def test_iou_bev_matches_rasterization_oracle():
+    """Randomized rotated boxes vs a dense point-in-rectangle rasterization
+    — an oracle independent of the polygon-clipping implementation."""
+    from deepinteraction_tpu.ops.rotated_iou import iou_bev
+
+    rng = np.random.default_rng(2)
+    n = 12
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:2] = rng.uniform(-3, 3, (n, 2))
+    boxes[:, 3:5] = rng.uniform(0.8, 4.0, (n, 2))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+
+    def inside(px, py, b):
+        dx, dy = px - b[0], py - b[1]
+        c, s = np.cos(b[6]), np.sin(b[6])
+        lx = c * dx + s * dy
+        ly = -s * dx + c * dy
+        return (np.abs(lx) <= b[3] / 2) & (np.abs(ly) <= b[4] / 2)
+
+    got = np.asarray(iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+    for i in range(n):
+        for j in range(i, n):
+            a, b = boxes[i], boxes[j]
+            lo = np.minimum(a[:2], b[:2]) - max(a[3] + a[4], b[3] + b[4])
+            hi = np.maximum(a[:2], b[:2]) + max(a[3] + a[4], b[3] + b[4])
+            xs = np.linspace(lo[0], hi[0], 480)
+            ys = np.linspace(lo[1], hi[1], 480)
+            cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+            gx, gy = np.meshgrid(xs, ys)
+            ina, inb = inside(gx, gy, a), inside(gx, gy, b)
+            inter = (ina & inb).sum() * cell
+            union = (ina | inb).sum() * cell
+            ref = inter / max(union, 1e-8)
+            assert abs(got[i, j] - ref) < 2e-2, (i, j, got[i, j], ref)

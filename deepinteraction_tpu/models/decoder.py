@@ -28,7 +28,7 @@ from ..ops.roi_align import roi_align, roi_align_views
 from ..targets.coder import TransFusionBBoxCoder
 from ..utils.boxes import corners as box_corners
 from ..utils.geometry import transform_points
-from .layers import ConvBNReLU, MLP1d, TorchMHA
+from .layers import ConvBNReLU, MLP1d, TorchLayerNorm, TorchMHA
 
 
 class PositionEmbeddingLearned(nn.Module):
@@ -61,14 +61,14 @@ class TransformerDecoderLayer(nn.Module):
         y = TorchMHA(self.d_model, self.nhead, self.dropout, name="self_attn")(
             q, q, q, train=train
         )
-        query = nn.LayerNorm(name="norm1")(query + y)
+        query = TorchLayerNorm(name="norm1")(query + y)
         y = TorchMHA(self.d_model, self.nhead, self.dropout, name="cross_attn")(
             query + qe, key + ke, key + ke, train=train
         )
-        query = nn.LayerNorm(name="norm2")(query + y)
+        query = TorchLayerNorm(name="norm2")(query + y)
         y = nn.Dense(self.dim_ff, name="linear1")(query)
         y = nn.Dense(self.d_model, name="linear2")(nn.relu(y))
-        return nn.LayerNorm(name="norm3")(query + y)
+        return TorchLayerNorm(name="norm3")(query + y)
 
 
 class PredictionFFN(nn.Module):
@@ -108,12 +108,12 @@ class DynamicConv(nn.Module):
         p1 = params[..., :n].reshape(params.shape[:-1] + (self.hidden, self.dyn))
         p2 = params[..., n:].reshape(params.shape[:-1] + (self.dyn, self.hidden))
         f = jnp.einsum("...kc,...cd->...kd", roi_features, p1)
-        f = nn.relu(nn.LayerNorm(name="norm1")(f))
+        f = nn.relu(TorchLayerNorm(name="norm1")(f))
         f = jnp.einsum("...kd,...dc->...kc", f, p2)
-        f = nn.relu(nn.LayerNorm(name="norm2")(f))
+        f = nn.relu(TorchLayerNorm(name="norm2")(f))
         f = f.reshape(f.shape[:-2] + (self.pool * self.pool * self.hidden,))
         f = nn.Dense(self.hidden, name="out_layer")(f)
-        return nn.relu(nn.LayerNorm(name="norm3")(f))
+        return nn.relu(TorchLayerNorm(name="norm3")(f))
 
 
 def _mask_kw(mask):
@@ -138,45 +138,76 @@ class _RCNNCore(nn.Module):
         y = TorchMHA(self.hidden, self.num_heads, self.dropout, name="self_attn")(
             query_feat, query_feat, query_feat, **_mask_kw(attn_key_mask), train=train
         )
-        q = nn.LayerNorm(name="norm1")(query_feat + y)
+        q = TorchLayerNorm(name="norm1")(query_feat + y)
         y = DynamicConv(self.hidden, self.hidden, name="dyconv")(q, roi_feats)
-        q = nn.LayerNorm(name="norm2")(q + y)
+        q = TorchLayerNorm(name="norm2")(q + y)
         y = nn.Dense(self.hidden * 4, name="linear1")(q)
         # exact erf GELU (torch F.gelu default; decoder_utils.py:60)
         y = nn.Dense(self.hidden, name="linear2")(nn.gelu(y, approximate=False))
-        return nn.LayerNorm(name="norm3")(q + y)
+        return TorchLayerNorm(name="norm3")(q + y)
 
 
 class _RCNNCoreV2(nn.Module):
     """++ dual-branch trunk (ImageRCNNBlockV2/PointRCNNBlockV2,
     decoder_utils.py:844-1090): self-attn -> norm (branch point), DynamicConv
     + FFN on the cross branch, a separate FFN on the self branch, combined
-    with two learned scalar scales initialized at 0.5."""
+    with two learned scalar scales initialized at 0.5.
+
+    NB the reference's combine BROADCASTS: the self branch is still in the
+    torch seq-first [N, 1, C] layout when added to the batch-first [1, N, C]
+    cross branch, and ``[0]`` of the resulting [N, N, C] is kept
+    (decoder_utils.py:986-990 and 1085-1088) — so EVERY query receives the
+    self-branch value of the FIRST query of its attention group (query 0 for
+    the point block; the first on-image query of the view for the image
+    block). Replicated exactly: released ++ checkpoints were trained with
+    this. ``self_contrib`` lets the image block supply the per-view value."""
 
     hidden: int
     num_heads: int
     dropout: float
     train_mode: bool = False
 
-    @nn.compact
-    def __call__(self, query_feat, roi_feats, attn_key_mask):
-        train = self.train_mode
+    def setup(self):
         c = self.hidden
-        y = TorchMHA(c, self.num_heads, self.dropout, name="self_attn")(
-            query_feat, query_feat, query_feat, **_mask_kw(attn_key_mask), train=train
+        self.self_attn = TorchMHA(c, self.num_heads, self.dropout)
+        self.norm1 = TorchLayerNorm()
+        self.dyconv = DynamicConv(c, c)
+        self.norm2 = TorchLayerNorm()
+        self.norm3 = TorchLayerNorm()
+        self.ffn_fc0 = nn.Dense(c * 4)
+        self.ffn_fc1 = nn.Dense(c)
+        self.self_ffn_fc0 = nn.Dense(c * 4)
+        self.self_ffn_fc1 = nn.Dense(c)
+        self.self_norm = TorchLayerNorm()
+        self.scale = self.param("scale", nn.initializers.constant(0.5), (1,))
+        self.self_scale = self.param("self_scale", nn.initializers.constant(0.5), (1,))
+
+    def norm1_block(self, query_feat, attn_key_mask):
+        """self-attn + residual + norm1 (the branch point)."""
+        y = self.self_attn(
+            query_feat,
+            query_feat,
+            query_feat,
+            **_mask_kw(attn_key_mask),
+            train=self.train_mode,
         )
-        q = nn.LayerNorm(name="norm1")(query_feat + y)
-        self_feat = q
-        y = DynamicConv(c, c, name="dyconv")(q, roi_feats)
-        q = nn.LayerNorm(name="norm2")(q + y)
-        y = nn.Dense(c * 4, name="ffn_fc0")(q)
-        q = nn.LayerNorm(name="norm3")(q + nn.Dense(c, name="ffn_fc1")(nn.relu(y)))
-        y = nn.Dense(c * 4, name="self_ffn_fc0")(self_feat)
-        self_feat = self_feat + nn.Dense(c, name="self_ffn_fc1")(nn.relu(y))
-        self_feat = nn.LayerNorm(name="self_norm")(self_feat)
-        scale = self.param("scale", nn.initializers.constant(0.5), (1,))
-        self_scale = self.param("self_scale", nn.initializers.constant(0.5), (1,))
-        return q * scale + self_feat * self_scale
+        return self.norm1(query_feat + y)
+
+    def self_branch(self, q1):
+        """identity-add FFN + norm on the self branch (mmcv FFN semantics)."""
+        y = self.self_ffn_fc0(q1)
+        return self.self_norm(q1 + self.self_ffn_fc1(nn.relu(y)))
+
+    def __call__(self, query_feat, roi_feats, attn_key_mask, self_contrib=None):
+        q = self.norm1_block(query_feat, attn_key_mask)
+        if self_contrib is None:
+            # point block: all queries get query 0's self-branch value
+            self_contrib = self.self_branch(q)[..., :1, :]
+        y = self.dyconv(q, roi_feats)
+        q = self.norm2(q + y)
+        y = self.ffn_fc0(q)
+        q = self.norm3(q + self.ffn_fc1(nn.relu(y)))
+        return q * self.scale + self_contrib * self.self_scale
 
 
 def _rcnn_core(variant: str):
@@ -262,9 +293,25 @@ class ImageRCNNBlock(nn.Module):
         attn_mask = jnp.take_along_axis(on_img, sel[:, :, None], axis=1)
         attn_mask = attn_mask | jnp.eye(p, dtype=bool)[None]
 
-        refined = _rcnn_core(cfg.variant)(
+        core = _rcnn_core(cfg.variant)(
             cfg.hidden_channel, cfg.num_heads, cfg.dropout, train, name="core"
-        )(query_feat, rois, attn_mask)  # [B, P, C]
+        )
+        if cfg.variant == "pp":
+            # reference broadcast quirk (see _RCNNCoreV2 docstring): each
+            # view's self-term is the self-branch of that view's FIRST
+            # on-image query, computed with the view's own key set
+            # (decoder_utils.py:970-990); every query of the view gets it.
+            qf_v = jnp.broadcast_to(
+                query_feat[:, None], (b, v, p, c)
+            ).reshape(b * v, p, c)
+            q1 = core.norm1_block(qf_v, on_img.reshape(b * v, p))
+            jstar = jnp.argmax(on_img, axis=2).reshape(b * v)
+            q1_star = jnp.take_along_axis(q1, jstar[:, None, None], axis=1)
+            s_view = core.self_branch(q1_star).reshape(b, v, c)
+            self_contrib = jnp.take_along_axis(s_view, sel[..., None], axis=1)
+            refined = core(query_feat, rois, attn_mask, self_contrib)
+        else:
+            refined = core(query_feat, rois, attn_mask)  # [B, P, C]
 
         out = jnp.where(any_on[..., None], refined, 0.0)
         return out, eff  # eff == -1 means "not on any image"

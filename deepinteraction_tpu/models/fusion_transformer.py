@@ -29,7 +29,7 @@ from flax import linen as nn
 from ..configs import MMRIEncoderConfig
 from ..ops.deform_attn import MSDeformableAttention
 from ..utils.geometry import grid_sample_2d, transform_points
-from .layers import TorchMHA
+from .layers import TorchLayerNorm, TorchMHA
 from .mmri_encoder import BEVWarp, MMRI_I2P, bevwarp_grid
 
 
@@ -146,11 +146,11 @@ class PolarI2P(nn.Module):
         self_attn = mha("dec_self_attn")
         cross_attn = mha("dec_cross_attn")
         ffn = TransFFN(c, 4 * c, cfg.dropout, name="dec_ffn")
-        norm1 = nn.LayerNorm(name="dec_norm1")
-        norm2 = nn.LayerNorm(name="dec_norm2")
-        norm3 = nn.LayerNorm(name="dec_norm3")
-        dec_norm = nn.LayerNorm(name="dec_out_norm")
-        mem_norm = nn.LayerNorm(name="enc_out_norm")
+        norm1 = TorchLayerNorm(name="dec_norm1")
+        norm2 = TorchLayerNorm(name="dec_norm2")
+        norm3 = TorchLayerNorm(name="dec_norm3")
+        dec_norm = TorchLayerNorm(name="dec_out_norm")
+        mem_norm = TorchLayerNorm(name="enc_out_norm")
 
         def rays_one_view(l2i, i2l, c2l_t):
             """Ray directions in raw-lidar XY for each feature column."""
@@ -251,15 +251,15 @@ class FusionLayerImg(nn.Module):
             c, cfg.num_heads, cfg.num_levels, cfg.deform_num_points, name="self_attn"
         )(q, ms_tokens, ref, shapes, train=train)
         self_feat = q
-        q = nn.LayerNorm(name="norm0")(q)
+        q = TorchLayerNorm(name="norm0")(q)
         q = MMRI_P2I_PP(cfg, self.pc_range, self.input_shape, name="p2i")(
             q.reshape(b, v, h, w, c), pts_map, batch, train, warp_grid=warp_grid
         ).reshape(b * v, h * w, c)
-        q = nn.LayerNorm(name="norm1")(q)
+        q = TorchLayerNorm(name="norm1")(q)
         q = TransFFN(c, 4 * c, cfg.dropout, name="ffn0")(q, train)
-        q = nn.LayerNorm(name="norm2")(q)
+        q = TorchLayerNorm(name="norm2")(q)
         self_feat = TransFFN(c, 4 * c, cfg.dropout, name="ffn1")(self_feat, train)
-        self_feat = nn.LayerNorm(name="norm3")(self_feat)
+        self_feat = TorchLayerNorm(name="norm3")(self_feat)
         scale = self.param("scale", nn.initializers.ones, (1,))
         out = self_feat + scale * q
         return out.reshape(b, v, h, w, c)
@@ -283,7 +283,7 @@ class FusionLayerPts(nn.Module):
             c, cfg.num_heads, cfg.num_levels, cfg.deform_num_points, name="self_attn"
         )(q, ms_tokens, ref, shapes, train=train)
         self_feat = q
-        q = nn.LayerNorm(name="norm0")(q)
+        q = TorchLayerNorm(name="norm0")(q)
         qm = q.reshape(b, hb, wb, c)
         if cfg.use_polar_i2p:
             qm = PolarI2P(
@@ -294,7 +294,7 @@ class FusionLayerPts(nn.Module):
                 num_z_bins=cfg.polar_num_z_bins,
                 name="polar_i2p",
             )(qm, img_map, batch, train)
-            qm = nn.LayerNorm(name="norm1")(qm.reshape(b, hb * wb, c)).reshape(
+            qm = TorchLayerNorm(name="norm1")(qm.reshape(b, hb * wb, c)).reshape(
                 b, hb, wb, c
             )
         i2p = MMRI_I2P(c, cfg.i2p_max_keys, name="i2p")(
@@ -310,9 +310,9 @@ class FusionLayerPts(nn.Module):
             train,
         )
         qm = qm + i2p  # pp I2P residual (fusion_transformerv4.py:364)
-        q = nn.LayerNorm(name="norm2")(qm.reshape(b, hb * wb, c))
+        q = TorchLayerNorm(name="norm2")(qm.reshape(b, hb * wb, c))
         self_feat = TransFFN(c, 4 * c, cfg.dropout, name="ffn0")(self_feat, train)
-        self_feat = nn.LayerNorm(name="norm3")(self_feat)
+        self_feat = TorchLayerNorm(name="norm3")(self_feat)
         scale = self.param("scale", nn.initializers.ones, (1,))
         out = self_feat + scale * q
         return out.reshape(b, hb, wb, c)

@@ -7,11 +7,21 @@ reference overrides encoder/decoder BN momentum to 0.1 (torch)
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# torch nn.LayerNorm uses eps=1e-5 (flax defaults to 1e-6) and a two-pass
+# variance (flax's default fast variance E[x^2]-E[x]^2 cancels to ~5e-4
+# error per block at f32). The reference's decoder/fusion/swin norms are
+# all plain nn.LayerNorm, so pin both torch behaviors (surfaced by the
+# MMPI golden tests).
+TorchLayerNorm = functools.partial(
+    nn.LayerNorm, epsilon=1e-5, use_fast_variance=False
+)
 
 
 class ConvBNReLU(nn.Module):

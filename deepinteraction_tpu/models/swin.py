@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import DropPath
+from .layers import DropPath, TorchLayerNorm
 
 
 def _rel_pos_index(ws: int) -> np.ndarray:
@@ -79,7 +79,7 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = TorchLayerNorm(name="norm1")(x)
         pad_h = (ws - h % ws) % ws
         pad_w = (ws - w % ws) % ws
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
@@ -123,7 +123,7 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x[:, :h, :w]
         x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(x, train)
-        y = nn.LayerNorm(name="norm2")(x)
+        y = TorchLayerNorm(name="norm2")(x)
         y = nn.Dense(4 * c, name="fc1")(y)
         # exact erf GELU: torch nn.GELU default (jax defaults to tanh approx)
         y = nn.Dropout(self.drop_rate, deterministic=not train)(
@@ -146,7 +146,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         )
-        x = nn.LayerNorm(name="norm")(x)
+        x = TorchLayerNorm(name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)
 
 
@@ -165,7 +165,7 @@ class SwinTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         x = nn.Conv(self.embed_dims, (4, 4), (4, 4), padding="VALID", name="patch_embed")(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = TorchLayerNorm(name="patch_norm")(x)
         outs = []
         dim = self.embed_dims
         total = sum(self.depths)
@@ -187,7 +187,7 @@ class SwinTransformer(nn.Module):
                 )(x, train)
                 blk += 1
             if i in self.out_indices:
-                outs.append(nn.LayerNorm(name=f"out_norm{i}")(x))
+                outs.append(TorchLayerNorm(name=f"out_norm{i}")(x))
             if i < len(self.depths) - 1:
                 x = PatchMerging(dim * 2, name=f"merge{i}")(x)
                 dim *= 2

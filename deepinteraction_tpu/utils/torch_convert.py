@@ -499,6 +499,34 @@ def _adapt(value: np.ndarray, src_key: str, dst_key: str) -> Dict[str, np.ndarra
     return {coll + ":" + path: v}
 
 
+def _rewire_box_convention(flat: Dict[str, np.ndarray]) -> None:
+    """Rewire dim/rot prediction-head OUTPUT channels from the reference's
+    v0.17 box convention to this repo's, in place.
+
+    The reference stores boxes as (x, y, z, w, l, h, yaw') with
+    yaw' = -yaw - pi/2 (pre-1.0 mmdet3d; tools/data_converter/
+    nuscenes_converter.py:253 ``-rots - np.pi / 2`` and ``dims = box.wlh``);
+    this repo stores (x, y, z_bottom, l, w, h, yaw_CCW)
+    (data/nuscenes_converter.py:15). Same physical boxes — the raw head
+    channels map linearly: dim (log-space) swaps channels (0, 1); rot
+    (sin, cos) maps (a, b) -> (-b, -a) since sin(-y'-pi/2) = -cos(y') and
+    cos(-y'-pi/2) = -sin(y'). Both maps are self-inverse, so the same
+    rewiring converts either direction. Without this, converted reference
+    checkpoints would predict mirrored-footprint boxes under our corners/
+    IoU/NMS interpretation (tests/test_reference_golden_mmpi.py has the
+    geometry argument)."""
+    for key in list(flat):
+        m = re.fullmatch(r"params:(.*)/(dim|rot)/out/(kernel|bias)", key)
+        if not m:
+            continue
+        v = flat[key]
+        if m.group(2) == "dim":
+            perm = [1, 0, 2]
+            flat[key] = v[..., perm] if v.ndim else v
+        else:  # rot: (a, b) -> (-b, -a)
+            flat[key] = -v[..., [1, 0]]
+
+
 def convert_state_dict(
     state_dict: Dict[str, Any]
 ) -> Tuple[Dict[str, np.ndarray], List[str]]:
@@ -521,6 +549,7 @@ def convert_state_dict(
             break
         if not hit:
             unmatched.append(key_s)
+    _rewire_box_convention(out)
     return out, unmatched
 
 

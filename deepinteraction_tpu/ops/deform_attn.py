@@ -146,9 +146,14 @@ def joint_topk_sample(
     wk = topv / jnp.sum(topv, axis=-1, keepdims=True)
 
     g = jax.vmap(lambda tb, ix: tb[ix])(flat_table, base_k.reshape(b, -1))
-    g = g.reshape(b, nq, h, kj, 4, hd)
-    sampled = jnp.sum(g * w4_k[..., None], axis=4)  # [B, Nq, h, kj, hd]
-    return jnp.sum(sampled * wk[..., None], axis=3)  # [B, Nq, h, hd]
+    # combine in the FLAT [R, 4*hd] gather layout: fold the point weight
+    # into the 4 cell weights and lane-slice per cell — reshaping the
+    # gather output to [.., kj, 4, hd] first costs a full T(4,128)
+    # relayout of the 1.1 GB tensor (measured 35 + 50 ms per ++ frame,
+    # PERF.md round 4); row-dim splits after the combine are layout-free.
+    wc = (w4_k * wk[..., None]).reshape(b, -1, 4)  # [B, R, 4]
+    acc = sum(wc[:, :, i : i + 1] * g[:, :, i * hd : (i + 1) * hd] for i in range(4))
+    return jnp.sum(acc.reshape(b, nq, h, kj, hd), axis=3)  # [B, Nq, h, hd]
 
 
 class _LinearParams(nn.Module):

@@ -387,16 +387,25 @@ def grid_sample_2d_views_patch_flat(
 ) -> jnp.ndarray:
     """:func:`grid_sample_2d_views_patch` against the FLAT
     ([V*H*W, 4*C], :func:`build_patch_table_flat`) layout — the fast
-    variant for narrow channels (MSDA heads, C<=32)."""
+    variant for narrow channels (MSDA heads, C<=32).
+
+    The tap combine runs on the FLAT [R, 4C] gather output (lane slices at
+    C-aligned offsets) and only then reshapes back: splitting the row dim
+    is layout-free, while combining in the multi-dim [.., p, 4, C] shape
+    makes XLA pick a sublane-padded tile (T(2,128)/T(4,128)) and relayout
+    the whole gather output first — measured 35 + 50 ms of pure data
+    formatting per ++ frame before this restructure (PERF.md round 4)."""
     c = table.shape[-1] // 4
     base, (w00, w01, w10, w11) = _patch_cells(vhw, grid_xy, view_idx, align_corners)
-    g = table[base]  # [..., 4*C]
-    return (
-        w00[..., None] * g[..., 0 * c : 1 * c]
-        + w01[..., None] * g[..., 1 * c : 2 * c]
-        + w10[..., None] * g[..., 2 * c : 3 * c]
-        + w11[..., None] * g[..., 3 * c : 4 * c]
-    )
+    lead = base.shape
+    g = table[base.reshape(-1)]  # [R, 4*C], R = prod(lead)
+    wf = jnp.stack(
+        [w.reshape(-1) for w in (w00, w01, w10, w11)], axis=-1
+    )  # [R, 4]
+    out = sum(
+        wf[:, i : i + 1] * g[:, i * c : (i + 1) * c] for i in range(4)
+    )  # [R, C]
+    return out.reshape(lead + (c,))
 
 
 def make_rotation_z(angle) -> jnp.ndarray:

@@ -8,7 +8,10 @@ decoding, box decode — is ONE jitted XLA program with zero host round-trips
 forward, SURVEY §3.1).
 
 Prints one JSON line: frames/sec/chip vs the BASELINE.json target of
-15 fps/chip.
+15 fps/chip. The detail block carries the roofline join (VERDICT r3 #2):
+XLA cost-model flops + bytes per frame, achieved TFLOP/s and GB/s, MFU and
+HBM utilization against the chip's peaks, and the same for the
+fusion_plusplus flagship (skipped with DI_BENCH_PP=0).
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-from deepinteraction_tpu.configs import fusion_base_config
+from deepinteraction_tpu.configs import fusion_base_config, fusion_plusplus_config
 from deepinteraction_tpu.inference import get_bboxes
 from deepinteraction_tpu.models.detector import DeepInteraction
 from deepinteraction_tpu.utils.testing import make_synthetic_batch
@@ -35,24 +38,36 @@ BASELINE_FPS = 15.0  # BASELINE.json: ">=15 frames/sec/chip on v5p"
 WARMUP = 3
 ITERS = 10
 
+# chip peaks for the MFU/roofline join (bf16 MXU peak, HBM bandwidth).
+# v5e: 197 TFLOP/s bf16, 16 GB HBM @ 819 GB/s. v5p: 459 TFLOP/s, 2765 GB/s.
+CHIP_PEAKS = {
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+}
 
-def main() -> None:
-    from deepinteraction_tpu.utils.backend import require_live_backend
 
-    try:
-        require_live_backend()
-    except RuntimeError as e:
-        print(f"bench.py: {e}", file=sys.stderr, flush=True)
-        raise SystemExit(3)
-    cfg = fusion_base_config()
-    batch_np = make_synthetic_batch(cfg, b=1, seed=0)
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+def chip_peaks() -> tuple:
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, peaks in CHIP_PEAKS.items():
+        if key in kind:
+            return peaks
+    return (float("nan"), float("nan"))
 
+
+def measure(cfg) -> dict:
+    """Compile + time one config's eval forward; join with the cost model."""
+    batch = {
+        k: jnp.asarray(v) for k, v in make_synthetic_batch(cfg, b=1, seed=0).items()
+    }
     model = DeepInteraction(
         cfg.model, cfg.data.padded_img_shape, num_proposals=cfg.test_num_proposals
     )
 
     t0 = time.time()
+    # NB: never run a full-size model.init eagerly on the TPU (axon worker
+    # crash) — build zero leaves from eval_shape instead.
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), batch, False))
     variables = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), variables
@@ -79,25 +94,72 @@ def main() -> None:
 
     t0 = time.time()
     for _ in range(ITERS):
-        out = forward(variables, batch)
-        fence(out)
+        fence(forward(variables, batch))
     per_frame = (time.time() - t0) / ITERS
-    fps = 1.0 / per_frame
 
+    # roofline join: XLA's own cost model for the compiled program
+    flops = bytes_ = float("nan")
+    try:
+        cost = forward.lower(variables, batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+        bytes_ = float(cost.get("bytes accessed", float("nan")))
+    except Exception as e:  # cost model is diagnostic, never fail the bench
+        print(f"bench.py: cost_analysis unavailable ({e})", file=sys.stderr)
+
+    peak_flops, peak_bw = chip_peaks()
+    out = {
+        "fps": 1.0 / per_frame,
+        "ms_per_frame": per_frame * 1e3,
+        "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+        "flops_per_frame": flops,
+        "bytes_per_frame": bytes_,
+        "achieved_tflops": flops / per_frame / 1e12,
+        "achieved_gbps": bytes_ / per_frame / 1e9,
+        "mfu": flops / per_frame / peak_flops,
+        "hbm_util": bytes_ / per_frame / peak_bw,
+    }
+    return {
+        k: (round(v, 4) if isinstance(v, float) and np.isfinite(v) else v)
+        for k, v in out.items()
+    }
+
+
+def main() -> None:
+    from deepinteraction_tpu.utils.backend import require_live_backend
+
+    try:
+        require_live_backend()
+    except RuntimeError as e:
+        print(f"bench.py: {e}", file=sys.stderr, flush=True)
+        raise SystemExit(3)
+
+    base = measure(fusion_base_config())
+
+    pp = None
+    if os.environ.get("DI_BENCH_PP", "1") == "1":
+        try:
+            pp = measure(fusion_plusplus_config())
+        except Exception as e:  # the flagship line is detail, not the headline
+            print(f"bench.py: fusion_plusplus measurement failed ({e})", file=sys.stderr)
+
+    detail = {
+        "batch": 1,
+        "device": str(jax.devices()[0].platform),
+        "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
+        "fusion_base": base,
+        "fusion_plusplus": pp,
+    }
     print(
         json.dumps(
             {
                 "metric": "deepinteraction_base_fusion_forward_fps_per_chip",
-                "value": round(fps, 3),
+                "value": round(base["fps"], 3),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "detail": {
-                    "batch": 1,
-                    "num_proposals": cfg.test_num_proposals,
-                    "compile_s": round(compile_s, 1),
-                    "init_s": round(init_s, 1),
-                    "device": str(jax.devices()[0].platform),
-                },
+                "vs_baseline": round(base["fps"] / BASELINE_FPS, 3),
+                "detail": detail,
             }
         )
     )

@@ -108,20 +108,25 @@ def merge_detections(
 
 
 def tta_inference(forward, variables, batch, flips=FLIPS, keep_threshold=0.0):
-    """Run ``forward`` on every flip variant and fuse.
+    """Run ``forward`` on every flip variant and fuse per example.
 
     ``forward(variables, batch) -> Detections`` (jitted; reused across
-    variants since only input values change).
+    variants since only input values change). Returns a LIST of
+    ``(boxes, scores, labels)`` tuples, one per batch example — variants
+    are fused within each example, never across examples.
     """
-    all_b, all_s, all_l = [], [], []
+    per_ex: List = []
     for fx, fy in flips:
         det = forward(variables, flip_batch(batch, fx, fy))
         boxes = unflip_boxes(np.asarray(det.boxes), fx, fy)
-        keep = np.asarray(det.keep) & (np.asarray(det.scores) > keep_threshold)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        keep = np.asarray(det.keep) & (scores > keep_threshold)
+        if not per_ex:
+            per_ex = [([], [], []) for _ in range(boxes.shape[0])]
         for b in range(boxes.shape[0]):
             k = keep[b]
-            all_b.append(boxes[b][k])
-            all_s.append(np.asarray(det.scores)[b][k])
-            all_l.append(np.asarray(det.labels)[b][k])
-    # NB: caller handles batching; this fuses across variants for B=1
-    return merge_detections(all_b, all_s, all_l)
+            per_ex[b][0].append(boxes[b][k])
+            per_ex[b][1].append(scores[b][k])
+            per_ex[b][2].append(labels[b][k])
+    return [merge_detections(bl, sl, ll) for bl, sl, ll in per_ex]

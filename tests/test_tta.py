@@ -67,3 +67,51 @@ def test_merge_detections_clusters():
     # full-agreement cluster keeps its max score; single-source is halved
     np.testing.assert_allclose(sorted(merged_s), [0.45, 0.8])
     assert set(merged_l.tolist()) == {0, 2}
+
+
+def test_tta_inference_batched():
+    """Variants fuse per example, never across examples (B=2)."""
+    from types import SimpleNamespace
+
+    from deepinteraction_tpu.eval.tta import tta_inference
+
+    truth0 = _boxes([(5, 3, 0.3)])
+    truth1 = _boxes([(-2, 7, -1.2), (1, 1, 0.5)])
+
+    def pad(b, n):
+        out = np.zeros((n, b.shape[1]), np.float32)
+        out[: len(b)] = b
+        return out
+
+    def forward(_, batch):
+        # detect the variant from the fused aug matrix; emit the truth in
+        # the FLIPPED frame so unflip_boxes maps it back (involution)
+        aug = np.asarray(batch["lidar_aug"])[0]
+        fx, fy = bool(aug[1, 1] < 0), bool(aug[0, 0] < 0)
+        from deepinteraction_tpu.eval.tta import unflip_boxes
+
+        boxes = np.stack(
+            [pad(unflip_boxes(truth0, fx, fy), 2), pad(unflip_boxes(truth1, fx, fy), 2)]
+        )
+        return SimpleNamespace(
+            boxes=boxes,
+            scores=np.array([[0.9, 0.0], [0.8, 0.7]], np.float32),
+            labels=np.zeros((2, 2), np.int64),
+            keep=np.array([[True, False], [True, True]]),
+        )
+
+    batch = {
+        "points": np.zeros((2, 4, 5), np.float32),
+        "lidar_aug": np.tile(np.eye(4, dtype=np.float32), (2, 1, 1)),
+    }
+    res = tta_inference(forward, None, batch)
+    assert len(res) == 2
+    b0, s0, l0 = res[0]
+    assert b0.shape[0] == 1 and l0.tolist() == [0]
+    np.testing.assert_allclose(b0[0, :2], truth0[0, :2], atol=1e-5)
+    np.testing.assert_allclose(b0[0, 6], truth0[0, 6], atol=1e-5)
+    b1, s1, _ = res[1]
+    assert b1.shape[0] == 2  # example 1's two boxes never merge into ex 0
+    got = sorted(np.round(b1[:, :2], 3).tolist())
+    want = sorted(np.round(truth1[:, :2], 3).tolist())
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -75,7 +75,11 @@ def main():
 
     dataset = NuScenesDataset(cfg, args.infos, train=False)
     n_ldev = jax.local_device_count()
-    batch_size = 1 if args.tta else cfg.data.samples_per_device * n_ldev
+    # TTA runs unsharded (single device) but batched: per-device batch size
+    batch_size = (
+        cfg.data.samples_per_device if args.tta
+        else cfg.data.samples_per_device * n_ldev
+    )
     loader = DataLoader(
         dataset,
         batch_size,
@@ -120,7 +124,7 @@ def main():
     for batch in loader.epoch(0, shuffle=False):
         pad = batch.pop("pad_count", 0)
         toks = batch.pop("token")
-        # tta forces batch 1, which can't shard over >1 local devices
+        # tta stays unsharded (flip_batch runs host-side per variant)
         arrays = (
             {k: jnp.asarray(v) for k, v in batch.items()}
             if args.tta
@@ -132,24 +136,26 @@ def main():
             from deepinteraction_tpu.eval.results import default_attribute
             from deepinteraction_tpu.eval.tta import tta_inference
 
-            boxes, scores, labels = tta_inference(forward, variables, arrays)
-            names = np.asarray([cfg.data.class_names[int(i)] for i in labels])
-            vel = boxes[:, 7:9]
-            pred_frames.append(
-                DetectionFrame(
-                    boxes=boxes[:, :7],
-                    velocity=vel,
-                    names=names,
-                    scores=scores,
-                    attributes=np.asarray(
-                        [
-                            default_attribute(n, float(np.linalg.norm(v)))
-                            for n, v in zip(names, vel)
-                        ]
-                    ),
+            fused = tta_inference(forward, variables, arrays)
+            for i in range(b):
+                boxes, scores, labels = fused[i]
+                names = np.asarray([cfg.data.class_names[int(j)] for j in labels])
+                vel = boxes[:, 7:9]
+                pred_frames.append(
+                    DetectionFrame(
+                        boxes=boxes[:, :7],
+                        velocity=vel,
+                        names=names,
+                        scores=scores,
+                        attributes=np.asarray(
+                            [
+                                default_attribute(n, float(np.linalg.norm(v)))
+                                for n, v in zip(names, vel)
+                            ]
+                        ),
+                    )
                 )
-            )
-            tokens.append(toks[0])
+                tokens.append(toks[i])
         else:
             det = jax.tree_util.tree_map(np.asarray, forward(variables, arrays))
             for i in range(b):

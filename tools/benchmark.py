@@ -25,6 +25,13 @@ def main():
     p.add_argument("--samples", type=int, default=50)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument(
+        "--train",
+        action="store_true",
+        help="time the full jitted train step (fwd + targets + bwd + AdamW) "
+        "instead of the eval forward; reference has no train-FPS harness, "
+        "this keeps PERF.md's train numbers reproducible in-repo",
+    )
     p.add_argument("--cfg-options", nargs="*", default=[])
     args = p.parse_args()
 
@@ -53,12 +60,23 @@ def main():
     from tools.train import get_config
 
     cfg = get_config(args.config)
-    if args.cfg_options:
-        cfg = apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.cfg_options))
+    overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
+    if args.train and "model.assigner.lap_impl" not in overrides:
+        # scipy's callback LAP raises UNIMPLEMENTED under the axon tunnel
+        # (tools/train.py does the same auto-detect)
+        from deepinteraction_tpu.ops.hungarian import default_lap_impl
 
-    model = DeepInteraction(
-        cfg.model, cfg.data.padded_img_shape, num_proposals=cfg.test_num_proposals
-    )
+        overrides["model.assigner.lap_impl"] = default_lap_impl()
+        print("lap_impl:", overrides["model.assigner.lap_impl"])
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+
+    if args.train:
+        model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
+    else:
+        model = DeepInteraction(
+            cfg.model, cfg.data.padded_img_shape, num_proposals=cfg.test_num_proposals
+        )
     dcfg = cfg.model.pts_bbox_head
 
     @jax.jit
@@ -70,14 +88,16 @@ def main():
         batches = [
             {
                 k: jnp.asarray(v)
-                for k, v in make_synthetic_batch(cfg, b=args.batch, seed=s).items()
+                for k, v in make_synthetic_batch(
+                    cfg, b=args.batch, seed=s, with_gt=args.train
+                ).items()
             }
             for s in range(min(args.samples, 4))
         ]
     else:
         from deepinteraction_tpu.data import DataLoader, NuScenesDataset
 
-        ds = NuScenesDataset(cfg, args.infos, train=False)
+        ds = NuScenesDataset(cfg, args.infos, train=args.train)
         dl = DataLoader(ds, args.batch, num_workers=4)
         batches = []
         for b in dl.epoch(0, shuffle=False):
@@ -91,23 +111,44 @@ def main():
     # axon worker (CLAUDE.md); timing is init-value-independent
     variables = fast_init_variables(model, batches[0])
 
-    # honest fence: under the axon tunnel block_until_ready returns before
-    # the device finishes — a host transfer of a scalar is the only fence
-    fence = lambda o: np.asarray(o.scores).sum()
+    if args.train:
+        from deepinteraction_tpu.train.step import create_train_state, make_train_step
 
-    t0 = time.time()
-    fence(forward(variables, batches[0]))
-    print(f"compile: {time.time() - t0:.1f}s")
+        state = create_train_state(cfg, variables, total_steps=1000)
+        step_fn = jax.jit(make_train_step(cfg, model, total_steps=1000))
+        rng = jax.random.PRNGKey(0)
+
+        def run(i):
+            nonlocal state
+            state, metrics = step_fn(state, batches[i % len(batches)], rng)
+            # honest fence (axon): host transfer of a scalar
+            return np.asarray(metrics["loss_total"]).sum()
+
+        t0 = time.time()
+        loss0 = run(0)
+        print(f"compile: {time.time() - t0:.1f}s  loss_total={loss0:.2f}")
+    else:
+        # honest fence: under the axon tunnel block_until_ready returns
+        # before the device finishes — a host transfer of a scalar is the
+        # only fence
+        def run(i):
+            return np.asarray(forward(variables, batches[i % len(batches)]).scores).sum()
+
+        t0 = time.time()
+        run(0)
+        print(f"compile: {time.time() - t0:.1f}s")
+
     for i in range(args.warmup):
-        fence(forward(variables, batches[i % len(batches)]))
+        run(i)
 
     t0 = time.time()
     for i in range(args.samples):
-        fence(forward(variables, batches[i % len(batches)]))
+        run(i)
     dt = (time.time() - t0) / args.samples
+    kind = "train steps/sec/chip" if args.train else "frames/sec/chip"
     print(
         f"{args.samples} iters, batch {args.batch}: "
-        f"{dt * 1e3:.1f} ms/iter, {args.batch / dt:.2f} frames/sec/chip "
+        f"{dt * 1e3:.1f} ms/iter, {args.batch / dt:.2f} {kind} "
         f"on {jax.devices()[0].platform}"
     )
 

@@ -145,7 +145,15 @@ RULES: List[Tuple[str, str]] = [
     # ---------------- MMRI encoder v1 ----------------
     (r"imgpts_neck\.shared_conv_img\.(weight|bias)", "params:imgpts_neck/shared_conv_img/\\g<1>"),
     (r"imgpts_neck\.shared_conv_pts\.(weight|bias)", "params:imgpts_neck/shared_conv_pts/\\g<1>"),
-    # I2P: nn.MultiheadAttention with kdim/vdim (unpacked projections)
+    # I2P nn.MultiheadAttention: the v1 encoder builds it with
+    # pts_channels == img_channels == hidden (deepinteraction_encoder.py:12),
+    # so torch PACKS the in-projection (in_proj_weight) — surfaced by
+    # tests/test_reference_golden_fusion_layer.py. The unpacked q/k/v rule
+    # is kept for kdim != embed_dim builds.
+    (
+        r"imgpts_neck\.fusion_blocks\.(\d)\.I2P_block\.learnedAlign\.in_proj_weight",
+        "params:imgpts_neck/layer\\g<1>/i2p/in_proj_weight_packed",
+    ),
     (
         r"imgpts_neck\.fusion_blocks\.(\d)\.I2P_block\.learnedAlign\.(q|k|v)_proj_weight",
         "params:imgpts_neck/layer\\g<1>/i2p/\\g<2>_proj/kernel",
@@ -159,33 +167,35 @@ RULES: List[Tuple[str, str]] = [
         "params:imgpts_neck/layer\\g<1>/i2p/out_proj/\\g<2>",
     ),
     # local attention blocks: query/key_project = Sequential(ConvBNReLU x2),
-    # value_project = ConvBNReLU (encoder_utils.py:84-126)
+    # value_project = a ConvBNReLU directly (encoder_utils.py:84-126).
+    # ConvBNReLU is a MODULE with named children conv/bn — real state_dict
+    # keys are e.g. ``query_project.0.conv.weight`` / ``value_project.bn.*``
+    # (surfaced by tests/test_reference_golden_fusion_layer.py; the old
+    # numeric-index patterns never matched a real checkpoint).
     (
-        r"imgpts_neck\.fusion_blocks\.(\d)\.(P_IML|I_IML)\.query_project\.(\d)\.(\d)\.(.+)",
+        r"imgpts_neck\.fusion_blocks\.(\d)\.(P_IML|I_IML)\.query_project\.(\d)\.(conv|bn)\.(.+)",
         lambda m: _locatt_key(m, "q"),
     ),
     (
-        r"imgpts_neck\.fusion_blocks\.(\d)\.(P_IML|I_IML)\.key_project\.(\d)\.(\d)\.(.+)",
+        r"imgpts_neck\.fusion_blocks\.(\d)\.(P_IML|I_IML)\.key_project\.(\d)\.(conv|bn)\.(.+)",
         lambda m: _locatt_key(m, "k"),
     ),
     (
-        r"imgpts_neck\.fusion_blocks\.(\d)\.(P_IML|I_IML)\.value_project\.(\d)\.(.+)",
+        r"imgpts_neck\.fusion_blocks\.(\d)\.(P_IML|I_IML)\.value_project\.(conv|bn)\.(.+)",
         lambda m: _locatt_value_key(m),
     ),
     (
-        r"imgpts_neck\.fusion_blocks\.(\d)\.P2I_block\.Local\.(query_project|key_project)\.(\d)\.(\d)\.(.+)",
+        r"imgpts_neck\.fusion_blocks\.(\d)\.P2I_block\.Local\.(query_project|key_project)\.(\d)\.(conv|bn)\.(.+)",
         lambda m: _p2i_locatt_key(m),
     ),
     (
-        r"imgpts_neck\.fusion_blocks\.(\d)\.P2I_block\.Local\.value_project\.(\d)\.(.+)",
+        r"imgpts_neck\.fusion_blocks\.(\d)\.P2I_block\.Local\.value_project\.(conv|bn)\.(.+)",
         lambda m: _p2i_locatt_value_key(m),
     ),
     (
-        r"imgpts_neck\.fusion_blocks\.(\d)\.(P|I)_(out_proj|integration)\.(\d)\.(.+)",
-        lambda m: _convbnrelu_key(
-            f"imgpts_neck/layer{m.group(1)}/"
-            f"{m.group(2).lower()}_{m.group(3)}", int(m.group(4)), m.group(5)
-        ),
+        r"imgpts_neck\.fusion_blocks\.(\d)\.(P|I)_(out_proj|integration)\.(conv|bn)\.(.+)",
+        lambda m: f"params:imgpts_neck/layer{m.group(1)}/"
+        f"{m.group(2).lower()}_{m.group(3)}/{m.group(4)}/{m.group(5)}",
     ),
     # ---------------- FusionTransformerv4 (++ neck) ----------------
     # reference fusion_transformerv4.py:26-141; layer specs
@@ -407,40 +417,29 @@ def _second_key(block: int, idx: int, leaf: str) -> str:
     return None
 
 
-def _convbnrelu_key(prefix: str, idx: int, leaf: str) -> str:
-    """ConvBNReLU Sequential: 0=conv, 1=bn (encoder_utils.py:11-34)."""
-    if idx == 0:
-        return f"params:{prefix}/conv/{leaf}"
-    return f"params:{prefix}/bn/{leaf}"
-
-
 def _locatt_key(m, which: str) -> str:
     block, mod = m.group(1), m.group(2)
-    seq, sub, leaf = int(m.group(3)), int(m.group(4)), m.group(5)
+    seq, inner, leaf = int(m.group(3)), m.group(4), m.group(5)
     name = "p_iml" if mod == "P_IML" else "i_iml"
-    inner = "conv" if sub == 0 else "bn"
     return f"params:imgpts_neck/layer{block}/{name}/{which}{seq}/{inner}/{leaf}"
 
 
 def _locatt_value_key(m) -> str:
     block, mod = m.group(1), m.group(2)
-    sub, leaf = int(m.group(3)), m.group(4)
+    inner, leaf = m.group(3), m.group(4)
     name = "p_iml" if mod == "P_IML" else "i_iml"
-    inner = "conv" if sub == 0 else "bn"
     return f"params:imgpts_neck/layer{block}/{name}/v/{inner}/{leaf}"
 
 
 def _p2i_locatt_key(m) -> str:
     block = m.group(1)
     which = "q" if m.group(2) == "query_project" else "k"
-    seq, sub, leaf = int(m.group(3)), int(m.group(4)), m.group(5)
-    inner = "conv" if sub == 0 else "bn"
+    seq, inner, leaf = int(m.group(3)), m.group(4), m.group(5)
     return f"params:imgpts_neck/layer{block}/p2i_local/{which}{seq}/{inner}/{leaf}"
 
 
 def _p2i_locatt_value_key(m) -> str:
-    block, sub, leaf = m.group(1), int(m.group(2)), m.group(3)
-    inner = "conv" if sub == 0 else "bn"
+    block, inner, leaf = m.group(1), m.group(2), m.group(3)
     return f"params:imgpts_neck/layer{block}/p2i_local/v/{inner}/{leaf}"
 
 

@@ -18,6 +18,7 @@ import types
 
 import torch
 import torch.nn as nn
+import torch.nn.functional as F
 
 REF = "/root/reference/projects/mmdet3d_plugin"
 
@@ -168,11 +169,176 @@ def _unfold_weighting_forward(x_ori, x_weight, kH, kW):
 
 
 class _Registry:
+    """mmcv Registry shim that actually STORES classes, so the
+    BaseTransformerLayer shim below can build ``attn_cfgs`` by type name
+    exactly like mmcv's ``build_attention`` does."""
+
+    def __init__(self):
+        self._map = {}
+
     def register_module(self, *a, **k):
         def deco(cls):
+            self._map[cls.__name__] = cls
             return cls
 
         return deco(a[0]) if (a and isinstance(a[0], type)) else deco
+
+    def get(self, name):
+        return self._map[name]
+
+    def build(self, cfg):
+        cfg = dict(cfg)
+        return self._map[cfg.pop("type")](**cfg)
+
+
+# shared ATTENTION registry: fusion_transformerv4.py registers its
+# DeepInteractionLayer / MMRI_* classes into it at import; TorchMSDA below
+# is pre-registered so attn_cfgs with type='MultiScaleDeformableAttention'
+# resolve (the reference gets that one from mmcv itself).
+ATTENTION = _Registry()
+TRANSFORMER_LAYER = _Registry()
+
+
+class TorchMSDA(nn.Module):
+    """mmcv ``MultiScaleDeformableAttention`` re-implemented faithfully on
+    ``F.grid_sample`` (the documented ``multi_scale_deformable_attn_pytorch``
+    fallback, mmcv multi_scale_deform_attn.py) — same parameter names
+    (sampling_offsets / attention_weights / value_proj / output_proj) so
+    state_dicts convert through the real torch_convert rules."""
+
+    def __init__(self, embed_dims=256, num_heads=8, num_levels=4, num_points=4,
+                 im2col_step=64, dropout=0.1, batch_first=False, norm_cfg=None,
+                 init_cfg=None):
+        super().__init__()
+        assert embed_dims % num_heads == 0
+        self.embed_dims = embed_dims
+        self.num_heads = num_heads
+        self.num_levels = num_levels
+        self.num_points = num_points
+        self.batch_first = batch_first
+        self.dropout = nn.Dropout(dropout)
+        self.sampling_offsets = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points * 2)
+        self.attention_weights = nn.Linear(
+            embed_dims, num_heads * num_levels * num_points)
+        self.value_proj = nn.Linear(embed_dims, embed_dims)
+        self.output_proj = nn.Linear(embed_dims, embed_dims)
+
+    def forward(self, query, key=None, value=None, identity=None,
+                query_pos=None, key_padding_mask=None, reference_points=None,
+                spatial_shapes=None, level_start_index=None, **kwargs):
+        if value is None:
+            value = query
+        if identity is None:
+            identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        if not self.batch_first:
+            query = query.permute(1, 0, 2)
+            value = value.permute(1, 0, 2)
+        bs, nq, _ = query.shape
+        nv = value.shape[1]
+        h, l, p = self.num_heads, self.num_levels, self.num_points
+        hd = self.embed_dims // h
+
+        v = self.value_proj(value)
+        if key_padding_mask is not None:
+            v = v.masked_fill(key_padding_mask[..., None], 0.0)
+        v = v.view(bs, nv, h, hd)
+        offsets = self.sampling_offsets(query).view(bs, nq, h, l, p, 2)
+        weights = self.attention_weights(query).view(bs, nq, h, l * p)
+        weights = weights.softmax(-1).view(bs, nq, h, l, p)
+
+        assert reference_points.shape[-1] == 2
+        normalizer = torch.stack(
+            [spatial_shapes[..., 1], spatial_shapes[..., 0]], -1).float()
+        loc = (reference_points[:, :, None, :, None, :]
+               + offsets / normalizer[None, None, None, :, None, :])
+
+        sizes = [int(hh) * int(ww) for hh, ww in spatial_shapes]
+        value_list = v.split(sizes, dim=1)
+        grids = 2 * loc - 1
+        sampled_all = []
+        for lvl in range(l):
+            hh, ww = int(spatial_shapes[lvl][0]), int(spatial_shapes[lvl][1])
+            vl = (value_list[lvl].flatten(2).transpose(1, 2)
+                  .reshape(bs * h, hd, hh, ww))
+            gl = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)  # [bs*h,nq,p,2]
+            sampled_all.append(F.grid_sample(
+                vl, gl, mode="bilinear", padding_mode="zeros",
+                align_corners=False))  # [bs*h, hd, nq, p]
+        attn = (weights.transpose(1, 2)
+                .reshape(bs * h, 1, nq, l * p))
+        out = ((torch.stack(sampled_all, dim=-2).flatten(-2) * attn)
+               .sum(-1).view(bs, h * hd, nq).transpose(1, 2))
+        out = self.output_proj(out)
+        if not self.batch_first:
+            out = out.permute(1, 0, 2)
+        return self.dropout(out) + identity
+
+
+class MMCVFFN(nn.Module):
+    """mmcv FFN with its REAL parameter naming: ``layers`` is
+    Sequential(Sequential(Linear, act, Dropout) x (num_fcs-1), Linear,
+    Dropout), so state_dict keys are ``layers.0.0.weight`` / ``layers.1.weight``
+    — the names the torch_convert rules match. TransFFN above flattens the
+    Sequential (kept: the swin oracle indexes it positionally)."""
+
+    def __init__(self, embed_dims=256, feedforward_channels=1024, num_fcs=2,
+                 ffn_drop=0.0, add_identity=True, act_cfg=None, **kwargs):
+        super().__init__()
+        act = {"ReLU": nn.ReLU, "GELU": nn.GELU}[
+            (act_cfg or {"type": "ReLU"}).get("type", "ReLU")
+        ]
+        blocks = []
+        c = embed_dims
+        for _ in range(num_fcs - 1):
+            blocks.append(
+                nn.Sequential(nn.Linear(c, feedforward_channels), act(),
+                              nn.Dropout(ffn_drop)))
+            c = feedforward_channels
+        blocks += [nn.Linear(c, embed_dims), nn.Dropout(ffn_drop)]
+        self.layers = nn.Sequential(*blocks)
+        self.add_identity = add_identity
+
+    def forward(self, x, identity=None):
+        out = self.layers(x)
+        if not self.add_identity:
+            return out
+        return (x if identity is None else identity) + out
+
+
+class RefBaseTransformerLayer(nn.Module):
+    """mmcv ``BaseTransformerLayer.__init__`` semantics (transformer.py):
+    builds ``self.attentions`` from attn_cfgs via the ATTENTION registry,
+    one LayerNorm per 'norm' op, one FFN per 'ffn' op; the reference's
+    DeepInteractionLayer overrides ``forward`` entirely and only relies on
+    these attributes (fusion_transformerv4.py:143-218)."""
+
+    def __init__(self, attn_cfgs=None, ffn_cfgs=None, operation_order=None,
+                 norm_cfg=None, batch_first=True, init_cfg=None, **kwargs):
+        super().__init__()
+        self.batch_first = batch_first
+        self.operation_order = operation_order
+        self.pre_norm = operation_order[0] == "norm"
+        if isinstance(attn_cfgs, dict):
+            attn_cfgs = [attn_cfgs]
+        attns = []
+        for cfg in attn_cfgs:
+            attns.append(ATTENTION.build(dict(cfg)))
+        self.attentions = nn.ModuleList(attns)
+        self.embed_dims = self.attentions[0].embed_dims
+        num_ffns = operation_order.count("ffn")
+        fcfg = dict(ffn_cfgs or {})
+        fcfg.pop("type", None)
+        self.ffns = nn.ModuleList(
+            [MMCVFFN(**fcfg) for _ in range(num_ffns)])
+        num_norms = operation_order.count("norm")
+        self.norms = nn.ModuleList(
+            [nn.LayerNorm(self.embed_dims) for _ in range(num_norms)])
+
+
+ATTENTION._map["MultiScaleDeformableAttention"] = TorchMSDA
 
 
 def _identity_3d_transformation(pts, coord_type, img_meta, reverse=False):
@@ -315,6 +481,49 @@ def load_reference_encoder_utils():
     return mod
 
 
+def _alias_plugin_encoder_utils():
+    """Make ``projects.mmdet3d_plugin.models.utils.encoder_utils`` resolve
+    to the shimmed reference encoder_utils (necks import it absolutely)."""
+    eu = load_reference_encoder_utils()
+    parts = [
+        "projects",
+        "projects.mmdet3d_plugin",
+        "projects.mmdet3d_plugin.models",
+        "projects.mmdet3d_plugin.models.utils",
+    ]
+    for i, part in enumerate(parts):
+        m = _mod(part)
+        m.__path__ = []
+        if i:
+            setattr(sys.modules[parts[i - 1]], part.rsplit(".", 1)[1], m)
+    sys.modules["projects.mmdet3d_plugin.models.utils"].encoder_utils = eu
+    sys.modules["projects.mmdet3d_plugin.models.utils.encoder_utils"] = eu
+
+
+def load_reference_encoder_v1():
+    """Load the reference deepinteraction_encoder.py (the v1 MMRI neck,
+    models/necks/deepinteraction_encoder.py) so a full composed
+    DeepInteractionEncoderLayer runs as an oracle — its blocks (MMRI_I2P,
+    LocalContextAttentionBlock via the unfold shim, BEVWarp + real cv2
+    depth fill, ConvBNReLU) are the reference's own encoder_utils code."""
+    install()
+    name = "ref_enc_v1"
+    if name in sys.modules:
+        return sys.modules[name]
+    m3d_builder = _mod("mmdet3d.models.builder")
+    if not hasattr(m3d_builder, "NECKS"):
+        m3d_builder.NECKS = _Registry()
+    sys.modules["mmdet3d.models"].builder = m3d_builder
+    _alias_plugin_encoder_utils()
+    spec = importlib.util.spec_from_file_location(
+        name, f"{REF}/models/necks/deepinteraction_encoder.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_fusion_v4():
     """Load the reference fusion_transformerv4.py (the ++ neck,
     models/necks/fusion_transformerv4.py) for oracle tests of its pure-torch
@@ -326,8 +535,9 @@ def load_reference_fusion_v4():
     fp16 rounding (which the golden comparison should not depend on anyway).
     Everything else (packed in-projections, decoder layers, ray geometry,
     grid_sample splat-back) runs the reference's own torch code.
-    mmcv registries / BaseTransformerLayer / MultiScaleDeformableAttention
-    are inert placeholders: the polar block never calls them.
+    BaseTransformerLayer and MultiScaleDeformableAttention are FAITHFUL
+    shims (RefBaseTransformerLayer / TorchMSDA above), so a full composed
+    DeepInteractionLayer runs as an oracle too.
     """
     install()
     name = "ref_fusionv4"
@@ -335,8 +545,8 @@ def load_reference_fusion_v4():
         return sys.modules[name]
 
     reg = _mod("mmcv.cnn.bricks.registry")
-    reg.TRANSFORMER_LAYER = _Registry()
-    reg.ATTENTION = _Registry()
+    reg.TRANSFORMER_LAYER = TRANSFORMER_LAYER
+    reg.ATTENTION = ATTENTION
     sys.modules["mmcv.cnn.bricks"].registry = reg
     bt = sys.modules["mmcv.cnn.bricks.transformer"]
 
@@ -344,8 +554,8 @@ def load_reference_fusion_v4():
         def __init__(self, *a, **k):
             super().__init__()
 
-    bt.BaseTransformerLayer = _Inert
-    bt.MultiScaleDeformableAttention = _Inert
+    bt.BaseTransformerLayer = RefBaseTransformerLayer
+    bt.MultiScaleDeformableAttention = TorchMSDA
     bt.build_transformer_layer = lambda *a, **k: _Inert()
 
     runner = sys.modules["mmcv.runner"]
@@ -365,21 +575,7 @@ def load_reference_fusion_v4():
     fbp.index_first_axis = None
     fa.bert_padding = fbp
 
-    # `from projects.mmdet3d_plugin.models.utils.encoder_utils import ...`
-    eu = load_reference_encoder_utils()
-    parts = [
-        "projects",
-        "projects.mmdet3d_plugin",
-        "projects.mmdet3d_plugin.models",
-        "projects.mmdet3d_plugin.models.utils",
-    ]
-    for i, part in enumerate(parts):
-        m = _mod(part)
-        m.__path__ = []
-        if i:
-            setattr(sys.modules[parts[i - 1]], part.rsplit(".", 1)[1], m)
-    sys.modules["projects.mmdet3d_plugin.models.utils"].encoder_utils = eu
-    sys.modules["projects.mmdet3d_plugin.models.utils.encoder_utils"] = eu
+    _alias_plugin_encoder_utils()
 
     spec = importlib.util.spec_from_file_location(
         name, f"{REF}/models/necks/fusion_transformerv4.py"

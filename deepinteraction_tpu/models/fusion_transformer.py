@@ -388,15 +388,28 @@ class FusionTransformerPP(nn.Module):
             train=train,
         )
 
+        # Under train, remat each interaction layer: the fwd+bwd residuals
+        # of the dual-branch layers (MSDA sampling intermediates at
+        # [6, 22400, 128] x many) exceed 16 GB HBM at full size even with
+        # the frozen trunks' backward DCE'd (PERF.md round 4) — layer-
+        # boundary checkpointing trades one forward recompute per layer
+        # for fitting the full-size ++ train step on one chip.
+        ImgLayer, PtsLayer = FusionLayerImg, FusionLayerPts
+        if train:
+            ImgLayer = nn.remat(FusionLayerImg, static_argnums=(5, 7))
+            PtsLayer = nn.remat(FusionLayerPts, static_argnums=(5, 7))
+        img_shapes = tuple(img_shapes)
+        pts_shapes = tuple(pts_shapes)
+
         new_img, new_pts = ms_img[0], ms_pts[0]
         for i in range(cfg.num_layers):
-            tmp_img = FusionLayerImg(
+            tmp_img = ImgLayer(
                 cfg, self.pc_range, self.input_shape, name=f"img_layer{i}"
             )(
                 new_img, new_pts, img_tokens, ref_img, img_shapes, batch, train,
-                warp_grid=warp_grid,
+                warp_grid,
             )
-            tmp_pts = FusionLayerPts(
+            tmp_pts = PtsLayer(
                 cfg, self.pc_range, self.input_shape, name=f"pts_layer{i}"
             )(new_pts, new_img, pts_tokens, ref_pts, pts_shapes, batch, train)
             new_img, new_pts = tmp_img, tmp_pts

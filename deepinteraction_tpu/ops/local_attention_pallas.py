@@ -169,6 +169,12 @@ local_attention_fused.defvjp(_fwd, _bwd)
 
 
 _USE_PALLAS = __import__("os").environ.get("DI_PALLAS_LOCATT", "1") == "1"
+# Opt the Pallas kernel back INTO training graphs (bisection / other
+# runtimes): the default keeps it out of train because it reproducibly
+# crashed the axon TPU worker there (tools/repro/locatt_train_crash.py).
+_FORCE_TRAIN = (
+    __import__("os").environ.get("DI_PALLAS_LOCATT_TRAIN", "0") == "1"
+)
 
 
 def local_attention_auto(q, k, v, kernel: int, train: bool = False):
@@ -179,12 +185,14 @@ def local_attention_auto(q, k, v, kernel: int, train: bool = False):
     kernel in the full-size fusion_base train program reproducibly crashed
     the axon TPU worker (eval programs with the identical kernel at the
     identical shapes run fine; bisected via DI_PALLAS_LOCATT /
-    DI_SPARSE_IMPL, PERF.md round 2). The backward was already routed
-    through the XLA oracle, so train-time numerics are unchanged.
+    DI_SPARSE_IMPL, PERF.md round 2; staged minimal repro:
+    tools/repro/locatt_train_crash.py). ``DI_PALLAS_LOCATT_TRAIN=1``
+    opts back in. The backward was already routed through the XLA
+    oracle, so train-time numerics are unchanged either way.
     """
     if (
         _USE_PALLAS
-        and not train
+        and (not train or _FORCE_TRAIN)
         and any(d.platform == "tpu" for d in jax.devices())
     ):
         return local_attention_fused(q, k, v, kernel)

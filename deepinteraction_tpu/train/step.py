@@ -125,6 +125,30 @@ def bev_shape(cfg: Config) -> Tuple[int, int]:
     return (ny // osf, nx // osf)
 
 
+def _stop_frozen(params, frozen: Tuple[Tuple[str, ...], ...]):
+    """``lax.stop_gradient`` on every frozen param subtree.
+
+    Matches the reference's ``requires_grad_(False)``
+    (deepinteraction.py:60-97) EXACTLY: torch never computes gradients for
+    frozen leaves (DDP leaves ``p.grad`` None), so grad-clip and grad-norm
+    cover trainable params only — and, critically, autodiff never runs
+    backward through the frozen trunks at all (their inputs are data).
+    Without this, jax.grad materializes the full backward of ResNet-50/FPN
+    and the sparse middle encoder only for optax.set_to_zero() to discard
+    it — measured as both the dominant train-step time bucket and the
+    memory overflow that kept full-size fusion_plusplus training from
+    fitting on a 16 GB chip (PERF.md round 4).
+    """
+    if not frozen:
+        return params
+    flat = traverse_util.flatten_dict(params)
+    flat = {
+        k: (jax.lax.stop_gradient(v) if _path_frozen(k, frozen) else v)
+        for k, v in flat.items()
+    }
+    return traverse_util.unflatten_dict(flat)
+
+
 def make_train_step(cfg: Config, model, total_steps: int):
     """Returns ``step_fn(state, batch, rng) -> (state, metrics)``, jittable.
 
@@ -141,7 +165,7 @@ def make_train_step(cfg: Config, model, total_steps: int):
     def step_fn(state: TrainState, batch: Dict[str, Any], rng) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             preds, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": _stop_frozen(params, frozen), "batch_stats": state.batch_stats},
                 batch,
                 True,
                 mutable=["batch_stats"],

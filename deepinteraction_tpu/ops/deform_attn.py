@@ -260,7 +260,7 @@ class MSDeformableAttention(nn.Module):
             loc = reference_points[:, :, None, li, None, :] + offsets[:, :, :, li] / wh
             grid = loc * 2.0 - 1.0  # [B, Nq, h, p, 2]
 
-            def sample_one(vb, gb):  # [h, hh, ww, hd], [Nq, h, p, 2]
+            def sample_one(vb, gb, wb):  # [h,hh,ww,hd], [Nq,h,p,2], [Nq,h,p]
                 # heads act as "views" of a FLAT 2x2-patch table: all 4
                 # bilinear taps of a (query, head, point) arrive in one
                 # [4*hd]-lane row gather — measured 3.7x faster than
@@ -272,10 +272,19 @@ class MSDeformableAttention(nn.Module):
                 hidx = jnp.broadcast_to(
                     jnp.arange(h, dtype=jnp.int32)[None, :, None], gb.shape[:-1]
                 )
-                return grid_sample_2d_views_patch_flat(table, (h, hh, ww), gb, hidx)
+                return grid_sample_2d_views_patch_flat(
+                    table, (h, hh, ww), gb, hidx, point_weights=wb
+                )
 
-            sampled = jax.vmap(sample_one)(vb_l, grid)  # [B, Nq, h, p, hd]
-            out = out + jnp.sum(sampled * weights[:, :, :, li, :, None], axis=3)
+            # The point weight folds into the [R, 4] cell weights inside
+            # grid_sample_2d_views_patch_flat — same sum up to fp
+            # reassociation. This replaces the broadcast-multiply over the
+            # lane-padded [.., p, hd] sampled tensor, which cost 36 ms/frame
+            # in the round-4 ++ eval trace and, in the TRAIN backward, held
+            # five 2.05 GB 8x-lane-padded [B, Nq*h*p, hd] temps — the
+            # allocations that pushed the full-size ++ train step over HBM.
+            sampled = jax.vmap(sample_one)(vb_l, grid, weights[:, :, :, li])
+            out = out + jnp.sum(sampled, axis=3)
 
         out = nn.Dense(c, name="output_proj")(out.reshape(b, nq, c))
         if self.dropout > 0.0 and train:

@@ -384,6 +384,7 @@ def grid_sample_2d_views_patch_flat(
     grid_xy: jnp.ndarray,
     view_idx: jnp.ndarray,
     align_corners: bool = False,
+    point_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """:func:`grid_sample_2d_views_patch` against the FLAT
     ([V*H*W, 4*C], :func:`build_patch_table_flat`) layout — the fast
@@ -394,7 +395,13 @@ def grid_sample_2d_views_patch_flat(
     is layout-free, while combining in the multi-dim [.., p, 4, C] shape
     makes XLA pick a sublane-padded tile (T(2,128)/T(4,128)) and relayout
     the whole gather output first — measured 35 + 50 ms of pure data
-    formatting per ++ frame before this restructure (PERF.md round 4)."""
+    formatting per ++ frame before this restructure (PERF.md round 4).
+
+    ``point_weights`` ([...] matching ``grid_xy``'s leading dims, e.g. MSDA
+    attention weights) are folded into the 4 cell weights BEFORE the
+    combine — per-row scalar arithmetic on the [R, 4] weight matrix — so
+    the caller's weighted point-sum needs no separate broadcast-multiply
+    over the lane-padded [.., p, C] output."""
     c = table.shape[-1] // 4
     base, (w00, w01, w10, w11) = _patch_cells(vhw, grid_xy, view_idx, align_corners)
     lead = base.shape
@@ -402,6 +409,8 @@ def grid_sample_2d_views_patch_flat(
     wf = jnp.stack(
         [w.reshape(-1) for w in (w00, w01, w10, w11)], axis=-1
     )  # [R, 4]
+    if point_weights is not None:
+        wf = wf * point_weights.reshape(-1, 1)
     out = sum(
         wf[:, i : i + 1] * g[:, i * c : (i + 1) * c] for i in range(4)
     )  # [R, C]

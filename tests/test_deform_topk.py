@@ -197,3 +197,41 @@ def test_heads_major_value_projection_matches(monkeypatch):
         rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert np.isfinite(np.asarray(tr)).all()
+
+
+def test_point_weight_fold_matches_unfolded_combine():
+    """grid_sample_2d_views_patch_flat(point_weights=w) must equal sampling
+    without weights followed by the broadcast multiply — the fold moves the
+    point weight into the [R, 4] cell weights (deform_attn per-level path;
+    also what keeps the full-size ++ TRAIN step under HBM, PERF.md r4)."""
+    from deepinteraction_tpu.utils.geometry import (
+        build_patch_table_flat,
+        grid_sample_2d_views_patch_flat,
+    )
+
+    rng = np.random.default_rng(7)
+    v, hh, ww, c = 3, 6, 5, 16
+    nq, p = 11, 4
+    feats = jnp.asarray(rng.normal(size=(v, hh, ww, c)).astype(np.float32))
+    table = build_patch_table_flat(feats)
+    # include out-of-range points to exercise zero-padding semantics
+    grid = jnp.asarray(rng.uniform(-1.3, 1.3, size=(nq, v, p, 2)).astype(np.float32))
+    vidx = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :, None], (nq, v, p))
+    w = jnp.asarray(rng.uniform(0.0, 1.0, size=(nq, v, p)).astype(np.float32))
+
+    plain = grid_sample_2d_views_patch_flat(table, (v, hh, ww), grid, vidx)
+    folded = grid_sample_2d_views_patch_flat(
+        table, (v, hh, ww), grid, vidx, point_weights=w
+    )
+    np.testing.assert_allclose(
+        np.asarray(folded), np.asarray(plain * w[..., None]), rtol=2e-6, atol=2e-6
+    )
+    # and the fold is differentiable through both weights and table
+    g = jax.grad(
+        lambda t: jnp.sum(
+            grid_sample_2d_views_patch_flat(
+                t, (v, hh, ww), grid, vidx, point_weights=w
+            )
+        )
+    )(table)
+    assert np.isfinite(np.asarray(g)).all()

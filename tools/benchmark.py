@@ -92,7 +92,10 @@ def main():
                     cfg, b=args.batch, seed=s, with_gt=args.train
                 ).items()
             }
-            for s in range(min(args.samples, 4))
+            # train mode holds fewer distinct batches on device: the ++
+            # train program leaves only ~0.5 GB of HBM headroom and each
+            # synthetic batch is a few hundred MB (runtime OOM otherwise)
+            for s in range(min(args.samples, 2 if args.train else 4))
         ]
     else:
         from deepinteraction_tpu.data import DataLoader, NuScenesDataset
@@ -115,7 +118,9 @@ def main():
         from deepinteraction_tpu.train.step import create_train_state, make_train_step
 
         state = create_train_state(cfg, variables, total_steps=1000)
-        step_fn = jax.jit(make_train_step(cfg, model, total_steps=1000))
+        # donate the state like the real trainer (tools/train.py:164):
+        # XLA aliases params/opt-state in/out (~0.75 GB at 62.7M params)
+        step_fn = jax.jit(make_train_step(cfg, model, total_steps=1000), donate_argnums=0)
         rng = jax.random.PRNGKey(0)
 
         def run(i):

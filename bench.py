@@ -127,6 +127,55 @@ def measure(cfg) -> dict:
     }
 
 
+def measure_train(cfg, warmup: int = 1, iters: int = 3) -> dict:
+    """Time the full jitted train step (forward + Hungarian targets + loss +
+    backward + cyclic AdamW, branch freezing) — the other half of "matching
+    the reference on perf" (VERDICT r4 #4: train numbers were PERF.md prose
+    only, invisible to round-over-round machine tracking)."""
+    import dataclasses
+
+    from deepinteraction_tpu.configs import apply_overrides
+    from deepinteraction_tpu.ops.hungarian import default_lap_impl
+    from deepinteraction_tpu.train.step import create_train_state, make_train_step
+    from deepinteraction_tpu.utils.testing import fast_init_variables
+
+    # scipy's callback LAP raises UNIMPLEMENTED under the axon tunnel
+    cfg = apply_overrides(cfg, {"model.assigner.lap_impl": default_lap_impl()})
+    model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(cfg, b=1, seed=0, with_gt=True).items()
+    }
+    variables = fast_init_variables(model, batch)
+    state = create_train_state(cfg, variables, total_steps=1000)
+    # donate the state like the real trainer (tools/train.py): XLA aliases
+    # params/opt-state in/out — the ++ train program needs the headroom
+    step_fn = jax.jit(make_train_step(cfg, model, total_steps=1000), donate_argnums=0)
+    rng = jax.random.PRNGKey(0)
+
+    def run():
+        nonlocal state
+        state, metrics = step_fn(state, batch, rng)
+        return float(np.asarray(metrics["loss_total"]))  # honest axon fence
+
+    t0 = time.time()
+    loss0 = run()
+    compile_s = time.time() - t0
+    for _ in range(warmup):
+        run()
+    t0 = time.time()
+    for _ in range(iters):
+        run()
+    per_step = (time.time() - t0) / iters
+    return {
+        "ms_per_step": round(per_step * 1e3, 1),
+        "steps_per_sec": round(1.0 / per_step, 4),
+        "compile_s": round(compile_s, 1),
+        "loss_total_step0": round(loss0, 2),
+        "lap_impl": cfg.model.assigner.lap_impl,
+    }
+
+
 def main() -> None:
     from deepinteraction_tpu.utils.backend import require_live_backend
 
@@ -145,12 +194,27 @@ def main() -> None:
         except Exception as e:  # the flagship line is detail, not the headline
             print(f"bench.py: fusion_plusplus measurement failed ({e})", file=sys.stderr)
 
+    # train-step timing for both shipped configs (detail, never the headline;
+    # DI_BENCH_TRAIN=0 skips when the bench budget is tight)
+    base_train = pp_train = None
+    if os.environ.get("DI_BENCH_TRAIN", "1") == "1":
+        try:
+            base_train = measure_train(fusion_base_config())
+        except Exception as e:
+            print(f"bench.py: fusion_base train measurement failed ({e})", file=sys.stderr)
+        try:
+            pp_train = measure_train(fusion_plusplus_config())
+        except Exception as e:
+            print(f"bench.py: fusion_plusplus train measurement failed ({e})", file=sys.stderr)
+
     detail = {
         "batch": 1,
         "device": str(jax.devices()[0].platform),
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
         "fusion_base": base,
         "fusion_plusplus": pp,
+        "fusion_base_train": base_train,
+        "fusion_plusplus_train": pp_train,
     }
     print(
         json.dumps(

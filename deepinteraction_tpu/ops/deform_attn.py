@@ -27,6 +27,7 @@ from flax import linen as nn
 from ..utils.geometry import (
     _patch_cells,
     build_patch_table_flat,
+    combine_flat_cells,
     grid_sample_2d_views_patch_flat,
 )
 
@@ -147,12 +148,13 @@ def joint_topk_sample(
 
     g = jax.vmap(lambda tb, ix: tb[ix])(flat_table, base_k.reshape(b, -1))
     # combine in the FLAT [R, 4*hd] gather layout: fold the point weight
-    # into the 4 cell weights and lane-slice per cell — reshaping the
-    # gather output to [.., kj, 4, hd] first costs a full T(4,128)
-    # relayout of the 1.1 GB tensor (measured 35 + 50 ms per ++ frame,
-    # PERF.md round 4); row-dim splits after the combine are layout-free.
+    # into the 4 cell weights — reshaping the gather output to
+    # [.., kj, 4, hd] first costs a full T(4,128) relayout of the 1.1 GB
+    # tensor (measured 35 + 50 ms per ++ frame, PERF.md round 4); row-dim
+    # splits after the combine are layout-free. Combine form (lane slices
+    # vs mask-matmul) selected by DI_MSDA_COMBINE (geometry.py).
     wc = (w4_k * wk[..., None]).reshape(b, -1, 4)  # [B, R, 4]
-    acc = sum(wc[:, :, i : i + 1] * g[:, :, i * hd : (i + 1) * hd] for i in range(4))
+    acc = combine_flat_cells(g, wc, hd)  # [B, R, hd]
     return jnp.sum(acc.reshape(b, nq, h, kj, hd), axis=3)  # [B, Nq, h, hd]
 
 

@@ -12,8 +12,32 @@ no flow interpreter.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Combine form for the flat [R, 4C] patch-gather output (the post-gather
+# weighted cell sum). "slice" = 4 strided lane-slice multiply-adds.
+# "matmul" = mask-matmul form: broadcast the [R, 4] cell weights to 4C
+# lanes via a constant [4, 4C] selector, one fused elementwise multiply,
+# then fold cells with a constant [4C, C] matmul on the MXU — no strided
+# lane slices, same sum up to fp reassociation. The round-5 ++ trace put
+# the slice form at ~71 ms/frame across its two call sites (deform_attn
+# joint combine + this per-level combine) vs a ~4 ms traffic floor.
+MSDA_COMBINE = os.environ.get("DI_MSDA_COMBINE", "slice")
+
+
+def combine_flat_cells(g: jnp.ndarray, wf: jnp.ndarray, c: int) -> jnp.ndarray:
+    """``out[..., r, :] = sum_i wf[..., r, i] * g[..., r, i*c:(i+1)*c]``
+    computed without leaving the flat lane layout (see MSDA_COMBINE)."""
+    if MSDA_COMBINE == "matmul":
+        sel = jnp.repeat(jnp.eye(4, dtype=g.dtype), c, axis=1)  # [4, 4c]
+        fold = jnp.tile(jnp.eye(c, dtype=g.dtype), (4, 1))  # [4c, c]
+        return (g * (wf.astype(g.dtype) @ sel)) @ fold
+    return sum(
+        wf[..., i : i + 1] * g[..., i * c : (i + 1) * c] for i in range(4)
+    )
 
 
 def transform_points(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
@@ -411,9 +435,7 @@ def grid_sample_2d_views_patch_flat(
     )  # [R, 4]
     if point_weights is not None:
         wf = wf * point_weights.reshape(-1, 1)
-    out = sum(
-        wf[:, i : i + 1] * g[:, i * c : (i + 1) * c] for i in range(4)
-    )  # [R, C]
+    out = combine_flat_cells(g, wf, c)  # [R, C]
     return out.reshape(lead + (c,))
 
 

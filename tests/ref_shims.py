@@ -634,3 +634,59 @@ def load_reference_swin():
     sys.modules[spec.name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def load_reference_swin_full():
+    """Load the reference swin.py with its REAL swin_utils (PatchEmbed /
+    PatchMerging / AdaptivePadding), so the FULL ``SwinTransformer`` runs as
+    a trunk oracle (tools/verify_ckpt.py stage 2, VERDICT r4 #8). A few more
+    mmcv names than install() provides are stubbed first — only what the
+    swin_utils module-level imports touch; PatchEmbed/PatchMerging execute
+    pure torch."""
+    install()
+    pkgname = "ref_swinfullpkg"
+    if pkgname + ".swin" in sys.modules:
+        return sys.modules[pkgname + ".swin"]
+
+    mmcv_cnn = sys.modules["mmcv.cnn"]
+    if not hasattr(mmcv_cnn, "build_activation_layer"):
+        mmcv_cnn.build_activation_layer = lambda cfg: {
+            "ReLU": nn.ReLU,
+            "GELU": nn.GELU,
+        }[(cfg or {"type": "GELU"}).get("type", "GELU")]()
+    if not hasattr(mmcv_cnn, "xavier_init"):
+        mmcv_cnn.xavier_init = lambda *a, **k: None
+    reg = _mod("mmcv.cnn.bricks.registry")
+    if not hasattr(reg, "TRANSFORMER_LAYER_SEQUENCE"):
+        reg.TRANSFORMER_LAYER_SEQUENCE = _Registry()
+    if not hasattr(reg, "TRANSFORMER_LAYER"):
+        reg.TRANSFORMER_LAYER = TRANSFORMER_LAYER
+    bt = sys.modules["mmcv.cnn.bricks.transformer"]
+    for name, val in (
+        ("BaseTransformerLayer", RefBaseTransformerLayer),
+        ("TransformerLayerSequence", nn.Module),
+        ("build_transformer_layer_sequence", lambda *a, **k: None),
+    ):
+        if not hasattr(bt, name):
+            setattr(bt, name, val)
+    mmdet_ub = _mod("mmdet.models.utils.builder")
+    if not hasattr(mmdet_ub, "TRANSFORMER"):
+        mmdet_ub.TRANSFORMER = _Registry()
+    _mod("mmdet.models.utils").builder = mmdet_ub
+
+    pkg = _mod(pkgname)
+    pkg.__path__ = [f"{REF}/models/backbones"]
+    spec_u = importlib.util.spec_from_file_location(
+        pkgname + ".swin_utils", f"{REF}/models/backbones/swin_utils.py"
+    )
+    su = importlib.util.module_from_spec(spec_u)
+    sys.modules[spec_u.name] = su
+    spec_u.loader.exec_module(su)
+    pkg.swin_utils = su
+    spec = importlib.util.spec_from_file_location(
+        pkgname + ".swin", f"{REF}/models/backbones/swin.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod

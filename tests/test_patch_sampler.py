@@ -47,3 +47,27 @@ def test_patch_sampler_exact_corners():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(feats[view].reshape(h * w, c)), atol=1e-5
         )
+
+
+def test_combine_flat_cells_matmul_matches_slice(monkeypatch):
+    """DI_MSDA_COMBINE=matmul (mask-matmul cell fold) must reproduce the
+    slice-combine sum up to fp reassociation — it is a pure lowering
+    choice for the same math (geometry.py::combine_flat_cells)."""
+    import deepinteraction_tpu.utils.geometry as G
+
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(2, 37, 64)).astype(np.float32))
+    wf = jnp.asarray(rng.normal(size=(2, 37, 4)).astype(np.float32))
+    monkeypatch.setattr(G, "MSDA_COMBINE", "slice")
+    a = G.combine_flat_cells(g, wf, 16)
+    monkeypatch.setattr(G, "MSDA_COMBINE", "matmul")
+    b = G.combine_flat_cells(g, wf, 16)
+    assert a.shape == b.shape == (2, 37, 16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    # flat 2-D form (the per-level sampler's layout)
+    monkeypatch.setattr(G, "MSDA_COMBINE", "slice")
+    a2 = G.combine_flat_cells(g[0], wf[0], 16)
+    monkeypatch.setattr(G, "MSDA_COMBINE", "matmul")
+    b2 = G.combine_flat_cells(g[0], wf[0], 16)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), rtol=1e-5, atol=1e-5)

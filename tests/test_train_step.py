@@ -142,6 +142,29 @@ def test_tiny_overfit_converges():
     )
 
 
+def test_tiny_pp_train_step_smoke():
+    """One jitted train step on the ++ variant. This is the only test that
+    traces the train-only ``nn.remat(FusionLayerImg/Pts, static_argnums=
+    (5, 7))`` path (models/fusion_transformer.py) — a future signature
+    reorder of the layer __call__ would silently mis-pin the static args
+    with no other test failing (ADVICE r4)."""
+    from deepinteraction_tpu.configs import tiny_pp_config
+
+    cfg = tiny_pp_config()
+    model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(cfg, b=1, with_gt=True, seed=7).items()
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    state = create_train_state(cfg, variables, total_steps=10)
+    step_fn = jax.jit(make_train_step(cfg, model, total_steps=10))
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert float(metrics["loss_total"]) > 0.0
+    assert int(new_state.step) == 1
+
+
 def test_dryrun_multichip():
     import sys
 
@@ -149,3 +172,23 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(len(jax.devices()))
+
+
+def test_dryrun_golden_catches_regression(tmp_path):
+    """The driver dry run asserts loss/grad-norm against committed goldens
+    (VERDICT r4 #5); a deliberately perturbed value must fail the check."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import check_dryrun_golden
+
+    p = tmp_path / "golden.json"
+    p.write_text(json.dumps({"8": {"loss_total": 100.0, "grad_norm": 50.0}}))
+    assert check_dryrun_golden(8, 100.5, 51.0, str(p)) == "golden: matched"
+    with pytest.raises(AssertionError, match="loss_total"):
+        check_dryrun_golden(8, 150.0, 50.0, str(p))  # garbage-but-finite loss
+    with pytest.raises(AssertionError, match="grad_norm"):
+        check_dryrun_golden(8, 100.0, 80.0, str(p))
+    assert "no entry" in check_dryrun_golden(4, 100.0, 50.0, str(p))
+    assert "no file" in check_dryrun_golden(8, 100.0, 50.0, str(tmp_path / "x.json"))

@@ -102,11 +102,14 @@ def main():
 
         ds = NuScenesDataset(cfg, args.infos, train=args.train)
         dl = DataLoader(ds, args.batch, num_workers=4)
+        # same train-mode resident-batch cap as the synthetic path: the ++
+        # train program leaves only ~0.5 GB of HBM headroom (ADVICE r4)
+        limit = min(args.samples, 2) if args.train else args.samples
         batches = []
         for b in dl.epoch(0, shuffle=False):
             b.pop("token"), b.pop("pad_count", None)
             batches.append({k: jnp.asarray(v) for k, v in b.items()})
-            if len(batches) >= args.samples:
+            if len(batches) >= limit:
                 break
         dl.close()
 

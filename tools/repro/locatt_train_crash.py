@@ -175,17 +175,26 @@ def main():
         if s in (4, 5):
             env["DI_PALLAS_LOCATT_TRAIN"] = "1"
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--stage", str(s)],
-            env=env,
-            cwd=REPO,
-            capture_output=True,
-            text=True,
-            timeout=3000,
-        )
-        results[s] = proc.returncode
-        tail = (proc.stdout + proc.stderr).strip().splitlines()[-3:]
-        print(f"--- stage {s}: rc={proc.returncode} ({time.time()-t0:.0f}s)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", str(s)],
+                env=env,
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+                timeout=3000,
+            )
+            rc, out = proc.returncode, proc.stdout + proc.stderr
+        except subprocess.TimeoutExpired as e:
+            # A hanging stage must not lose the per-stage table: record a
+            # sentinel rc and keep bisecting (ADVICE r4).
+            rc = "timeout"
+            out = ((e.stdout or b"").decode(errors="replace") if isinstance(e.stdout, bytes) else (e.stdout or "")) + (
+                (e.stderr or b"").decode(errors="replace") if isinstance(e.stderr, bytes) else (e.stderr or "")
+            )
+        results[s] = rc
+        tail = out.strip().splitlines()[-3:]
+        print(f"--- stage {s}: rc={rc} ({time.time()-t0:.0f}s)")
         for line in tail:
             print("   ", line)
     print("bisection:", results)

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--outdir", default=None, help="trace output dir")
     ap.add_argument("--iters", type=int, default=3, help="traced iterations")
     ap.add_argument("--train", action="store_true", help="trace the train step instead")
+    ap.add_argument(
+        "--zeros",
+        action="store_true",
+        help="zeros-leaf variables (bench.py's init) instead of fast_init "
+        "noise — isolates value-dependent axon worker crashes",
+    )
     args = ap.parse_args()
     outdir = args.outdir or f"/tmp/trace_{args.config}"
 
@@ -51,19 +57,56 @@ def main() -> None:
     from tools.train import get_config
 
     cfg = get_config(args.config)
-    model = DeepInteraction(
-        cfg.model, cfg.data.padded_img_shape, num_proposals=cfg.test_num_proposals
-    )
-    dcfg = cfg.model.pts_bbox_head
 
-    @jax.jit
-    def forward(variables, batch):
-        preds = model.apply(variables, batch, False)
-        return get_bboxes(preds, dcfg, cfg.model.bbox_coder, cfg.test_num_proposals)
+    if args.train:
+        # full jitted train step (forward + Hungarian targets + loss +
+        # backward + AdamW) — same program as tools/benchmark.py --train
+        from deepinteraction_tpu.configs import apply_overrides
+        from deepinteraction_tpu.ops.hungarian import default_lap_impl
+        from deepinteraction_tpu.train.step import create_train_state, make_train_step
 
-    batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(cfg, b=1, seed=0).items()}
-    variables = fast_init_variables(model, batch)
-    fence = lambda o: np.asarray(o.scores).sum()
+        cfg = apply_overrides(cfg, {"model.assigner.lap_impl": default_lap_impl()})
+        model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in make_synthetic_batch(cfg, b=1, seed=0, with_gt=True).items()
+        }
+        variables = fast_init_variables(model, batch)
+        state = create_train_state(cfg, variables, total_steps=1000)
+        step_fn = jax.jit(
+            make_train_step(cfg, model, total_steps=1000), donate_argnums=0
+        )
+        rng = jax.random.PRNGKey(0)
+        state_box = [state]
+
+        def forward(_v, batch):
+            new_state, metrics = step_fn(state_box[0], batch, rng)
+            state_box[0] = new_state
+            return metrics
+
+        fence = lambda m: float(np.asarray(m["loss_total"]))
+    else:
+        model = DeepInteraction(
+            cfg.model, cfg.data.padded_img_shape, num_proposals=cfg.test_num_proposals
+        )
+        dcfg = cfg.model.pts_bbox_head
+
+        @jax.jit
+        def forward(variables, batch):
+            preds = model.apply(variables, batch, False)
+            return get_bboxes(preds, dcfg, cfg.model.bbox_coder, cfg.test_num_proposals)
+
+        batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(cfg, b=1, seed=0).items()}
+        if args.zeros:
+            shapes = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0), batch, False)
+            )
+            variables = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+        else:
+            variables = fast_init_variables(model, batch)
+        fence = lambda o: np.asarray(o.scores).sum()
 
     t0 = time.time()
     fence(forward(variables, batch))

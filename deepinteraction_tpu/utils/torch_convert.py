@@ -534,6 +534,8 @@ def convert_state_dict(
     unmatched: List[str] = []
     for key, value in state_dict.items():
         key_s = key[len("module."):] if key.startswith("module.") else key
+        if key_s.endswith("num_batches_tracked"):
+            continue  # torch BN bookkeeping scalar; no JAX counterpart
         hit = False
         for pat, tpl in RULES:
             m = re.fullmatch(pat, key_s)

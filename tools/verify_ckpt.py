@@ -391,6 +391,216 @@ def _run_polar(cfg, sd) -> dict:
     return rep
 
 
+def _run_img_trunk(cfg, sd) -> dict:
+    """ResNet stages + FPN levels activation diff through the converter
+    rules, against mmdet-layout torch oracles (tests/torch_trunks.py) —
+    a silent trunk-converter layout bug shifts every downstream number
+    (VERDICT r4 #8). Reference: mmdet ResNet-50 + FPN, config
+    Fusion_0075_refactor.py:132-145."""
+    import numpy as np
+    import jax.numpy as jnp
+    import torch
+
+    import torch_trunks as TT
+    from deepinteraction_tpu.models.fpn import FPN
+    from deepinteraction_tpu.models.resnet import ResNet
+    from deepinteraction_tpu.utils.torch_convert import convert_state_dict
+
+    bcfg, ncfg = cfg.model.img_backbone, cfg.model.img_neck
+    if bcfg.type != "resnet":
+        return {"status": "n/a (swin config)"}
+    ref_bb = TT.TorchResNet(bcfg.depth, tuple(bcfg.out_indices)).eval()
+    ref_nk = TT.TorchFPN(tuple(ncfg.in_channels), ncfg.out_channels, ncfg.num_outs).eval()
+    sub_b, miss_b = _take_block(sd, ref_bb, "img_backbone")
+    sub_n, miss_n = _take_block(sd, ref_nk, "img_neck")
+    if sub_b is None or sub_n is None:
+        return {"status": "absent", "missing": (miss_b + miss_n)[:6]}
+    ref_bb.load_state_dict(sub_b)
+    ref_nk.load_state_dict(sub_n)
+
+    rng = np.random.default_rng(51)
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        outs_t = ref_bb(torch.tensor(x))
+        fpn_t = ref_nk(outs_t)
+
+    src = {f"img_backbone.{k}": t.numpy() for k, t in ref_bb.state_dict().items()}
+    src.update({f"img_neck.{k}": t.numpy() for k, t in ref_nk.state_dict().items()})
+    flat, unmatched = convert_state_dict(src)
+    if unmatched:
+        return {"status": "fail", "unmatched": unmatched[:6]}
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    outs_j = ResNet(depth=bcfg.depth, out_indices=tuple(bcfg.out_indices)).apply(
+        {
+            "params": _slice_params(flat, "params:img_backbone/"),
+            "batch_stats": _slice_params(flat, "batch_stats:img_backbone/"),
+        },
+        xj,
+        False,
+    )
+    fpn_j = FPN(out_channels=ncfg.out_channels, num_outs=ncfg.num_outs).apply(
+        {"params": _slice_params(flat, "params:img_neck/")}, outs_j, False
+    )
+
+    worst = {"max_abs": 0.0, "max_rel": 0.0, "tol": TOL}
+    all_ok = True
+    for name, ours, want in (
+        [(f"res_stage{i}", outs_j[i], outs_t[i]) for i in range(len(outs_j))]
+        + [(f"fpn{i}", fpn_j[i], fpn_t[i]) for i in range(len(fpn_j))]
+    ):
+        d = _diff(np.asarray(ours).transpose(0, 3, 1, 2), want.numpy())
+        all_ok &= d.pop("ok")
+        if d["max_abs"] > worst.get("max_abs", 0.0):
+            worst = {**d, "worst_block": name}
+    worst["status"] = "ok" if all_ok else "fail"
+    return worst
+
+
+def _run_swin_trunk(cfg, sd) -> dict:
+    """Full reference SwinTransformer (imported from /root/reference with
+    its real swin_utils — ref_shims.load_reference_swin_full) vs our Swin
+    through the converter rules: covers patch_embed, every stage,
+    PatchMerging reduction layout, and the out-norms. Reference swin.py:
+    460-754."""
+    import numpy as np
+    import jax.numpy as jnp
+    import torch
+
+    from ref_shims import load_reference_swin_full
+    from deepinteraction_tpu.models.swin import SwinTransformer
+    from deepinteraction_tpu.utils.torch_convert import convert_state_dict
+
+    bcfg = cfg.model.img_backbone
+    if bcfg.type != "swin":
+        return {"status": "n/a (resnet config)"}
+    SWF = load_reference_swin_full()
+    ref = SWF.SwinTransformer(
+        embed_dims=bcfg.embed_dims,
+        depths=tuple(bcfg.depths),
+        num_heads=tuple(bcfg.num_heads),
+        window_size=bcfg.window_size,
+        out_indices=tuple(bcfg.out_indices),
+        drop_path_rate=0.0,
+        convert_weights=False,
+    ).eval()
+    sub, missing = _take_block(sd, ref, "img_backbone")
+    if sub is None:
+        return {"status": "absent", "missing": missing[:6]}
+    ref.load_state_dict(sub)
+
+    rng = np.random.default_rng(52)
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        outs_t = ref(torch.tensor(x))
+
+    flat, unmatched = convert_state_dict(
+        {f"img_backbone.{k}": t.numpy() for k, t in ref.state_dict().items()}
+    )
+    if unmatched:
+        return {"status": "fail", "unmatched": unmatched[:6]}
+    outs_j = SwinTransformer(
+        embed_dims=bcfg.embed_dims,
+        depths=tuple(bcfg.depths),
+        num_heads=tuple(bcfg.num_heads),
+        window_size=bcfg.window_size,
+        out_indices=tuple(bcfg.out_indices),
+    ).apply(
+        {"params": _slice_params(flat, "params:img_backbone/")},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        False,
+    )
+
+    worst = {"max_abs": 0.0, "max_rel": 0.0, "tol": TOL}
+    all_ok = True
+    for i, (ours, want) in enumerate(zip(outs_j, outs_t)):
+        d = _diff(np.asarray(ours).transpose(0, 3, 1, 2), want.numpy())
+        all_ok &= d.pop("ok")
+        if d["max_abs"] > worst.get("max_abs", 0.0):
+            worst = {**d, "worst_block": f"swin_out{i}"}
+    worst["status"] = "ok" if all_ok else "fail"
+    return worst
+
+
+def _run_pts_trunk(cfg, sd) -> dict:
+    """SECOND + patched SECONDFPN activation diff through the converter
+    rules vs mmdet3d-layout torch oracles (tests/torch_trunks.py).
+    Reference: config Fusion_0075_refactor.py:169-184 +
+    models/updated_modules/second_fpn.py:15-24."""
+    import numpy as np
+    import jax.numpy as jnp
+    import torch
+
+    import torch_trunks as TT
+    from deepinteraction_tpu.models.second import SECOND, SECONDFPN
+    from deepinteraction_tpu.utils.torch_convert import convert_state_dict
+
+    scfg, fcfg = cfg.model.pts_backbone, cfg.model.pts_neck
+    ref_b = TT.TorchSECOND(
+        scfg.in_channels, tuple(scfg.out_channels), tuple(scfg.layer_nums),
+        tuple(scfg.layer_strides),
+    ).eval()
+    ref_n = TT.TorchSECONDFPN(
+        tuple(fcfg.in_channels), tuple(fcfg.out_channels), tuple(fcfg.upsample_strides)
+    ).eval()
+    sub_b, miss_b = _take_block(sd, ref_b, "pts_backbone")
+    sub_n, miss_n = _take_block(sd, ref_n, "pts_neck")
+    if sub_b is None or sub_n is None:
+        return {"status": "absent", "missing": (miss_b + miss_n)[:6]}
+    ref_b.load_state_dict(sub_b)
+    ref_n.load_state_dict(sub_n)
+
+    rng = np.random.default_rng(53)
+    x = rng.normal(size=(1, scfg.in_channels, 24, 24)).astype(np.float32)
+    with torch.no_grad():
+        outs_t = ref_b(torch.tensor(x))
+        fpn_t = ref_n(outs_t)
+
+    src = {f"pts_backbone.{k}": t.numpy() for k, t in ref_b.state_dict().items()}
+    src.update({f"pts_neck.{k}": t.numpy() for k, t in ref_n.state_dict().items()})
+    flat, unmatched = convert_state_dict(src)
+    if unmatched:
+        return {"status": "fail", "unmatched": unmatched[:6]}
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    outs_j = SECOND(
+        out_channels=tuple(scfg.out_channels),
+        layer_nums=tuple(scfg.layer_nums),
+        layer_strides=tuple(scfg.layer_strides),
+    ).apply(
+        {
+            "params": _slice_params(flat, "params:pts_backbone/"),
+            "batch_stats": _slice_params(flat, "batch_stats:pts_backbone/"),
+        },
+        xj,
+        False,
+    )
+    fpn_j = SECONDFPN(
+        out_channels=tuple(fcfg.out_channels),
+        upsample_strides=tuple(fcfg.upsample_strides),
+    ).apply(
+        {
+            "params": _slice_params(flat, "params:pts_neck/"),
+            "batch_stats": _slice_params(flat, "batch_stats:pts_neck/"),
+        },
+        outs_j,
+        False,
+    )
+
+    worst = {"max_abs": 0.0, "max_rel": 0.0, "tol": TOL}
+    all_ok = True
+    for name, ours, want in (
+        [(f"second{i}", outs_j[i], outs_t[i]) for i in range(len(outs_j))]
+        + [(f"secondfpn{i}", fpn_j[i], fpn_t[i]) for i in range(len(fpn_j))]
+    ):
+        d = _diff(np.asarray(ours).transpose(0, 3, 1, 2), want.numpy())
+        all_ok &= d.pop("ok")
+        if d["max_abs"] > worst.get("max_abs", 0.0):
+            worst = {**d, "worst_block": name}
+    worst["status"] = "ok" if all_ok else "fail"
+    return worst
+
+
 def _blocks_for(cfg) -> dict:
     """name -> runner(cfg, sd). MMPI even blocks are image, odd are point
     (deepinteraction_decoder.py:105-132); diff one of each generation."""
@@ -402,6 +612,13 @@ def _blocks_for(cfg) -> dict:
         blocks["mmpi1_pts"] = lambda c, s: _run_mmpi_block(c, s, "pts", 1)
     if getattr(cfg.model.imgpts_neck, "use_polar_i2p", False):
         blocks["polar_i2p"] = _run_polar
+    # trunk blocks (VERDICT r4 #8): a converter layout bug here shifts
+    # every downstream number
+    if cfg.model.img_backbone.type == "resnet":
+        blocks["img_trunk"] = _run_img_trunk
+    else:
+        blocks["swin_trunk"] = _run_swin_trunk
+    blocks["pts_trunk"] = _run_pts_trunk
     return blocks
 
 
@@ -456,6 +673,47 @@ def make_dry_pth(cfg, path: str) -> None:
                 dropout=0.0,
             ),
         )
+    # trunk blocks at the config's sizes (img_trunk / swin_trunk / pts_trunk)
+    import torch_trunks as TT
+
+    bcfg, ncfg = cfg.model.img_backbone, cfg.model.img_neck
+    if bcfg.type == "resnet":
+        put("img_backbone", TT.TorchResNet(bcfg.depth, tuple(bcfg.out_indices)))
+        put(
+            "img_neck",
+            TT.TorchFPN(tuple(ncfg.in_channels), ncfg.out_channels, ncfg.num_outs),
+        )
+    else:
+        from ref_shims import load_reference_swin_full
+
+        SWF = load_reference_swin_full()
+        put(
+            "img_backbone",
+            SWF.SwinTransformer(
+                embed_dims=bcfg.embed_dims,
+                depths=tuple(bcfg.depths),
+                num_heads=tuple(bcfg.num_heads),
+                window_size=bcfg.window_size,
+                out_indices=tuple(bcfg.out_indices),
+                drop_path_rate=0.0,
+                convert_weights=False,
+            ),
+        )
+    scfg, fcfg = cfg.model.pts_backbone, cfg.model.pts_neck
+    put(
+        "pts_backbone",
+        TT.TorchSECOND(
+            scfg.in_channels, tuple(scfg.out_channels), tuple(scfg.layer_nums),
+            tuple(scfg.layer_strides),
+        ),
+    )
+    put(
+        "pts_neck",
+        TT.TorchSECONDFPN(
+            tuple(fcfg.in_channels), tuple(fcfg.out_channels),
+            tuple(fcfg.upsample_strides),
+        ),
+    )
     # marker: stage 1's fatal shape-error check is waived for dry-run
     # checkpoints (their decoder blocks are 128-wide per the reference
     # hard-codes while a tiny config's model tree is narrower)

@@ -40,6 +40,80 @@ def combine_flat_cells(g: jnp.ndarray, wf: jnp.ndarray, c: int) -> jnp.ndarray:
     )
 
 
+# Backward form for the big row gathers (the MSDA patch-table sampling).
+# XLA's autodiff transpose of gather is a scatter-ADD with non-unique
+# indices, which the TPU serializes on per-update read-modify-write
+# latency: ~181 ns/update vs the ~11 ns/index forward gather — measured
+# 869 ms per [4.3M -> 1.07M, 64] instance, 4 instances = 48% of the
+# full-size ++ train step (PERF.md round 5, tools/repro/scatter_bwd_bench).
+#   segsort (default): sort -> segmented suffix-combine (log2 R shift-add
+#     passes) -> one scatter whose indices are unique except at a trash
+#     row (losers); EXACT totals up to f32 reassociation. 546 ms at the
+#     shape above (1.6x the stock transpose).
+#   cumsum: sort -> row cumsum -> per-segment difference -> the same
+#     masked scatter; ~444 ms but carries the cumsum's cancellation error
+#     (measured 7e-5 relative at model shapes).
+#   scatter: the stock XLA transpose.
+# NB: never claim indices_are_sorted on the masked index vector — the
+# trash insertions make it unsorted and the TPU MISCOMPILES on the lie
+# (wave-3/4 of the microbench: rel-1.0 garbage). unique_indices with
+# duplicates only at the trash row measured correct.
+GATHER_BWD = os.environ.get("DI_GATHER_BWD", "segsort")
+
+
+@jax.custom_vjp
+def take_rows(table: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """``table[ix]`` ([T, C] x [R] int32 -> [R, C]) with a sort-based
+    backward (see GATHER_BWD). Forward is the plain XLA gather."""
+    return jnp.take(table, ix, axis=0)
+
+
+def _take_rows_fwd(table, ix):
+    return jnp.take(table, ix, axis=0), (ix, table.shape[0])
+
+
+def _take_rows_bwd(res, ct):
+    ix, t = res
+    if GATHER_BWD == "scatter":
+        return jnp.zeros((t, ct.shape[-1]), ct.dtype).at[ix].add(ct), None
+    r = ix.shape[0]
+    order = jnp.argsort(ix)
+    six = jnp.take(ix, order)
+    sct = jnp.take(ct, order, axis=0)
+    is_first = jnp.concatenate([jnp.ones((1,), bool), six[1:] != six[:-1]])
+    if GATHER_BWD == "cumsum":
+        cum = jnp.cumsum(sct, axis=0)
+        ar = jnp.arange(r, dtype=jnp.int32)
+        start = jax.lax.cummax(jnp.where(is_first, ar, -1))
+        exc = jnp.where(
+            (start > 0)[:, None], jnp.take(cum, start - 1, axis=0), 0.0
+        )
+        # at each segment's LAST row, cum - exc is the segment total; mask
+        # every other row to the trash slot
+        is_last = jnp.concatenate([six[1:] != six[:-1], jnp.ones((1,), bool)])
+        acc = cum - exc
+        live = is_last
+    else:  # segsort: exact suffix-combine, total lands on the FIRST row
+        acc = sct
+        d = 1
+        while d < r:
+            same = jnp.concatenate([six[d:] == six[:-d], jnp.zeros((d,), bool)])
+            shifted = jnp.concatenate(
+                [acc[d:], jnp.zeros((d,) + acc.shape[1:], acc.dtype)]
+            )
+            acc = acc + jnp.where(same[:, None], shifted, 0.0)
+            d *= 2
+        live = is_first
+    ixu = jnp.where(live, six, t)  # losers go to a trash row
+    dtable = jnp.zeros((t + 1, ct.shape[-1]), ct.dtype).at[ixu].add(
+        acc, unique_indices=True
+    )[:t]
+    return dtable, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def transform_points(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply a [4,4] homogeneous matrix to [..., 3] points."""
     return pts @ mat[:3, :3].T + mat[:3, 3]
@@ -429,7 +503,10 @@ def grid_sample_2d_views_patch_flat(
     c = table.shape[-1] // 4
     base, (w00, w01, w10, w11) = _patch_cells(vhw, grid_xy, view_idx, align_corners)
     lead = base.shape
-    g = table[base.reshape(-1)]  # [R, 4*C], R = prod(lead)
+    # take_rows: plain gather forward, sort-based backward (GATHER_BWD) —
+    # the stock scatter-add transpose of THIS gather was 48% of the ++
+    # train step (PERF.md round 5)
+    g = take_rows(table, base.reshape(-1))  # [R, 4*C], R = prod(lead)
     wf = jnp.stack(
         [w.reshape(-1) for w in (w00, w01, w10, w11)], axis=-1
     )  # [R, 4]

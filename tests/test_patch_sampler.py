@@ -71,3 +71,67 @@ def test_combine_flat_cells_matmul_matches_slice(monkeypatch):
     monkeypatch.setattr(G, "MSDA_COMBINE", "matmul")
     b2 = G.combine_flat_cells(g[0], wf[0], 16)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), rtol=1e-5, atol=1e-5)
+
+
+def test_take_rows_segsort_backward_matches_scatter(monkeypatch):
+    """DI_GATHER_BWD=segsort (sort -> segmented suffix-combine -> unique
+    boundary scatter) must reproduce the stock scatter-add gather
+    transpose up to f32 reassociation — duplicate and missing row ids,
+    under vmap, and through the full patch sampler."""
+    import deepinteraction_tpu.utils.geometry as G
+
+    rng = np.random.default_rng(7)
+    t, r, c = 57, 301, 12
+    table = jnp.asarray(rng.normal(size=(t, 4 * c)).astype(np.float32))
+    # heavy duplication + some ids never hit
+    ix = jnp.asarray(rng.integers(0, t // 2, size=r, dtype=np.int32))
+    ct = jnp.asarray(rng.normal(size=(r, 4 * c)).astype(np.float32))
+
+    def loss(tb, impl):
+        monkeypatch.setattr(G, "GATHER_BWD", impl)
+        return jnp.vdot(G.take_rows(tb, ix), ct)
+
+    g_scatter = jax.grad(lambda tb: loss(tb, "scatter"))(table)
+    g_segsort = jax.grad(lambda tb: loss(tb, "segsort"))(table)
+    np.testing.assert_allclose(
+        np.asarray(g_segsort), np.asarray(g_scatter), rtol=1e-5, atol=1e-5
+    )
+    g_cumsum = jax.grad(lambda tb: loss(tb, "cumsum"))(table)
+    np.testing.assert_allclose(
+        np.asarray(g_cumsum), np.asarray(g_scatter), rtol=1e-4, atol=1e-4
+    )
+    # forward unchanged
+    np.testing.assert_array_equal(
+        np.asarray(G.take_rows(table, ix)), np.asarray(table[ix])
+    )
+
+    # vmapped (batched tables/indices), as the MSDA call sites use it
+    tb_b = jnp.stack([table, table * 2.0])
+    ix_b = jnp.stack([ix, ix[::-1]])
+    ct_b = jnp.stack([ct, ct + 1.0])
+
+    def bloss(tb, impl):
+        monkeypatch.setattr(G, "GATHER_BWD", impl)
+        g = jax.vmap(G.take_rows)(tb, ix_b)
+        return jnp.vdot(g, ct_b)
+
+    gb_s = jax.grad(lambda tb: bloss(tb, "scatter"))(tb_b)
+    gb_q = jax.grad(lambda tb: bloss(tb, "segsort"))(tb_b)
+    np.testing.assert_allclose(np.asarray(gb_q), np.asarray(gb_s), rtol=1e-5, atol=1e-5)
+
+    # through the full sampler (grad w.r.t. the table feeding _patch_cells)
+    v, h, w = 2, 5, 7
+    feats = jnp.asarray(rng.normal(size=(v, h, w, c)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, size=(40, 2)).astype(np.float32))
+    vidx = jnp.asarray(rng.integers(0, v, size=(40,), dtype=np.int32))
+    cot = jnp.asarray(rng.normal(size=(40, c)).astype(np.float32))
+
+    def sloss(f, impl):
+        monkeypatch.setattr(G, "GATHER_BWD", impl)
+        tbl = G.build_patch_table_flat(f)
+        out = G.grid_sample_2d_views_patch_flat(tbl, (v, h, w), grid, vidx)
+        return jnp.vdot(out, cot)
+
+    gs = jax.grad(lambda f: sloss(f, "scatter"))(feats)
+    gq = jax.grad(lambda f: sloss(f, "segsort"))(feats)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gs), rtol=1e-5, atol=1e-5)

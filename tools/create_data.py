@@ -24,6 +24,16 @@ def main():
         "--num-samples", type=int, default=4, help="synthetic only: samples to write"
     )
     p.add_argument(
+        "--profile",
+        choices=["tiny", "realistic"],
+        default="tiny",
+        help="synthetic only: 'realistic' writes a full-scale multi-scene "
+        "set (~45k-pt lidar spins, 40 objects/scene, 1600x900 6-cam) for "
+        "the eval-deviation quality gates (PERF.md round 5)",
+    )
+    p.add_argument("--num-scenes", type=int, default=24, help="realistic only")
+    p.add_argument("--num-objects", type=int, default=40, help="realistic only")
+    p.add_argument(
         "--gt-database",
         action="store_true",
         help="also build the GT-paste database (reference create_gt_database)",
@@ -38,10 +48,25 @@ def main():
     out = args.out or args.root
 
     if args.dataset == "synthetic":
-        from deepinteraction_tpu.utils.synthetic_nuscenes import write_synthetic_nuscenes
+        if args.profile == "realistic":
+            from deepinteraction_tpu.utils.synthetic_nuscenes import (
+                write_realistic_nuscenes,
+            )
 
-        write_synthetic_nuscenes(args.root, num_samples=args.num_samples)
-        args.version = "v1.0-mini"
+            write_realistic_nuscenes(
+                args.root,
+                num_scenes=args.num_scenes,
+                samples_per_scene=args.num_samples,
+                num_objects=args.num_objects,
+            )
+            args.version = "v1.0-trainval"
+        else:
+            from deepinteraction_tpu.utils.synthetic_nuscenes import (
+                write_synthetic_nuscenes,
+            )
+
+            write_synthetic_nuscenes(args.root, num_samples=args.num_samples)
+            args.version = "v1.0-mini"
 
     from deepinteraction_tpu.data.nuscenes_converter import create_nuscenes_infos
 

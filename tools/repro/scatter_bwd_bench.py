@@ -148,9 +148,11 @@ def main():
         r = ix.shape[0]
         is_first = jnp.concatenate([jnp.ones((1,), bool), six[1:] != six[:-1]])
         is_last = jnp.concatenate([six[1:] != six[:-1], jnp.ones((1,), bool)])
-        # start position of each row's segment via a running max
-        start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(is_first, jnp.arange(r, dtype=jnp.int32), -1)
+        # start position of each row's segment via a running max (cummax is
+        # a primitive; lax.associative_scan here built an unrolled graph
+        # that did not finish compiling in 27 min)
+        start = jax.lax.cummax(
+            jnp.where(is_first, jnp.arange(r, dtype=jnp.int32), -1)
         )
         prev = jnp.where(start > 0, start - 1, 0)
         exc = jnp.where((start > 0)[:, None], jnp.take(cum, prev, axis=0), 0.0)
@@ -178,7 +180,63 @@ def main():
             acc, unique_indices=True, indices_are_sorted=True
         )[:T]
 
+    # --- wave 4: HONEST-flag variants. Wave 3's masked trash-row scatters
+    # claimed indices_are_sorted on a [a,T,T,b,T,...] vector — a lie the
+    # TPU miscompiles on (both wave-3 pipelines returned rel-1.0 garbage).
+
+    @jax.jit
+    def masked_unique_unsorted(ix, ct):
+        # totals at first rows via doubling, losers -> trash; ONLY the
+        # unique hint (true except at the trash row)
+        order = jnp.argsort(ix)
+        six = jnp.take(ix, order)
+        acc = jnp.take(ct, order, axis=0)
+        d = 1
+        while d < R:
+            same = jnp.concatenate([six[d:] == six[:-d], jnp.zeros((d,), bool)])
+            shifted = jnp.concatenate([acc[d:], jnp.zeros((d, C), acc.dtype)])
+            acc = acc + jnp.where(same[:, None], shifted, 0.0)
+            d *= 2
+        is_first = jnp.concatenate([jnp.ones((1,), bool), six[1:] != six[:-1]])
+        ixu = jnp.where(is_first, six, T)
+        return jnp.zeros((T + 1, C), jnp.float32).at[ixu].add(
+            acc, unique_indices=True
+        )[:T]
+
+    @jax.jit
+    def set_sorted_broadcast(ix, ct):
+        # every row carries its segment TOTAL (cumsum at segment end minus
+        # cumsum before segment start, positions via cummax/cummin), then
+        # one .set scatter with TRULY sorted indices; duplicate writers all
+        # write the same value
+        r = ix.shape[0]
+        order = jnp.argsort(ix)
+        six = jnp.take(ix, order)
+        sct = jnp.take(ct, order, axis=0)
+        cum = jnp.cumsum(sct, axis=0)
+        is_first = jnp.concatenate([jnp.ones((1,), bool), six[1:] != six[:-1]])
+        is_last = jnp.concatenate([six[1:] != six[:-1], jnp.ones((1,), bool)])
+        ar = jnp.arange(r, dtype=jnp.int32)
+        start = jax.lax.cummax(jnp.where(is_first, ar, -1))
+        end = -jax.lax.cummax(jnp.where(is_last, -ar, -r)[::-1])[::-1]
+        tot = jnp.take(cum, end, axis=0) - jnp.where(
+            (start > 0)[:, None], jnp.take(cum, start - 1, axis=0), 0.0
+        )
+        return jnp.zeros((T, C), jnp.float32).at[six].set(
+            tot, indices_are_sorted=True
+        )
+
     ref = np.asarray(baseline(ix, ct))
+    for name, fn in (
+        ("masked unique unsorted", masked_unique_unsorted),
+        ("set sorted broadcast", set_sorted_broadcast),
+    ):
+        got = np.asarray(fn(ix, ct))
+        err = float(np.max(np.abs(got - ref)))
+        rel = err / float(np.max(np.abs(ref)))
+        print(f"{name:24s} max abs err {err:.3e} (rel {rel:.2e})", flush=True)
+        timeit(name, fn, ix, ct)
+
     for name, fn in (("pipeline cumsum", pipeline_cumsum),
                      ("pipeline doubling", pipeline_doubling)):
         got = np.asarray(fn(ix, ct))

@@ -40,7 +40,13 @@ class DeepInteraction(nn.Module):
     num_proposals: int | None = None  # override for test-time 400
 
     @nn.compact
-    def __call__(self, batch: Dict[str, Any], train: bool = False):
+    def __call__(
+        self, batch: Dict[str, Any], train: bool = False, encoder_only: bool = False
+    ):
+        """``encoder_only=True`` stops after the MMRI fusion and returns
+        (new_img, (pts_conv, new_pts)) — the split-program probe for the
+        Pallas-in-train crash bisection (tools/repro/locatt_train_crash.py
+        stage 6: a train-scale fwd+bwd program WITHOUT the decoder half)."""
         cfg = self.cfg
         if cfg.lidar_only:
             return self._lidar_only(batch, train)
@@ -160,6 +166,9 @@ class DeepInteraction(nn.Module):
                 self.input_shape,
                 name="imgpts_neck",
             )(img_feats, pts_feats, mmri_batch, train)
+
+        if encoder_only:
+            return new_img, (pts_conv, new_pts)
 
         # ---- MMPI decoding ----
         preds = Decoder(

@@ -28,7 +28,7 @@ from ..utils.geometry import (
     _patch_cells,
     build_patch_table_flat,
     combine_flat_cells,
-    grid_sample_2d_views_patch_flat,
+    grid_sample_2d_views_patch_flat_psum,
 )
 
 # Eval-time sample-point reduction: keep only the top-k attention-weighted
@@ -262,31 +262,30 @@ class MSDeformableAttention(nn.Module):
             loc = reference_points[:, :, None, li, None, :] + offsets[:, :, :, li] / wh
             grid = loc * 2.0 - 1.0  # [B, Nq, h, p, 2]
 
-            def sample_one(vb, gb, wb):  # [h,hh,ww,hd], [Nq,h,p,2], [Nq,h,p]
-                # heads act as "views" of a FLAT 2x2-patch table: all 4
-                # bilinear taps of a (query, head, point) arrive in one
-                # [4*hd]-lane row gather — measured 3.7x faster than
-                # per-head 4-tap gathers at hd=16 (PERF.md round 2).
-                # (Flattening (h, p) into the gather row dim to improve
-                # the output layout measured NEGATIVE: the reshape after
-                # the gather costs more than the tile padding it saves.)
-                table = build_patch_table_flat(vb)
-                hidx = jnp.broadcast_to(
-                    jnp.arange(h, dtype=jnp.int32)[None, :, None], gb.shape[:-1]
-                )
-                return grid_sample_2d_views_patch_flat(
-                    table, (h, hh, ww), gb, hidx, point_weights=wb
-                )
-
-            # The point weight folds into the [R, 4] cell weights inside
-            # grid_sample_2d_views_patch_flat — same sum up to fp
-            # reassociation. This replaces the broadcast-multiply over the
-            # lane-padded [.., p, hd] sampled tensor, which cost 36 ms/frame
-            # in the round-4 ++ eval trace and, in the TRAIN backward, held
-            # five 2.05 GB 8x-lane-padded [B, Nq*h*p, hd] temps — the
-            # allocations that pushed the full-size ++ train step over HBM.
-            sampled = jax.vmap(sample_one)(vb_l, grid, weights[:, :, :, li])
-            out = out + jnp.sum(sampled, axis=3)
+            # (batch, head) pairs act as "views" of ONE flat 2x2-patch
+            # table: all 4 bilinear taps of a (query, head, point) arrive
+            # in one [4*hd]-lane row gather — measured 3.7x faster than
+            # per-head 4-tap gathers at hd=16 (PERF.md round 2). Batch is
+            # folded into the view axis (row-offset keys) instead of
+            # vmapping, so the backward runs ONE flat sort, not b batched
+            # sorts (the repo's flat-sort rule). The point sum rides
+            # INSIDE the fused psum op: its custom chunked backward
+            # replaces XLA's serialized scatter-add gather transpose (48%
+            # of the ++ train step) without materializing full-R temps
+            # (PERF.md round 5). The point weight folds into the [R, 4]
+            # cell weights — same sum up to fp reassociation; this
+            # replaces the broadcast-multiply over the lane-padded
+            # [.., p, hd] sampled tensor (36 ms/frame in the round-4 ++
+            # eval trace and five 2.05 GB padded train-backward temps).
+            table = build_patch_table_flat(vb_l.reshape(b * h, hh, ww, hd))
+            bhidx = (
+                jnp.arange(b, dtype=jnp.int32)[:, None, None, None] * h
+                + jnp.arange(h, dtype=jnp.int32)[None, None, :, None]
+            )
+            bhidx = jnp.broadcast_to(bhidx, grid.shape[:-1])
+            out = out + grid_sample_2d_views_patch_flat_psum(
+                table, (b * h, hh, ww), grid, bhidx, weights[:, :, :, li]
+            )
 
         out = nn.Dense(c, name="output_proj")(out.reshape(b, nq, c))
         if self.dropout > 0.0 and train:

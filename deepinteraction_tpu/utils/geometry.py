@@ -13,6 +13,7 @@ no flow interpreter.
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +75,7 @@ def _take_rows_fwd(table, ix):
 
 def _take_rows_bwd(res, ct):
     ix, t = res
-    if GATHER_BWD == "scatter":
+    if GATHER_BWD == "scatter" or ix.shape[0] < GATHER_BWD_MIN_ROWS:
         return jnp.zeros((t, ct.shape[-1]), ct.dtype).at[ix].add(ct), None
     r = ix.shape[0]
     order = jnp.argsort(ix)
@@ -112,6 +113,122 @@ def _take_rows_bwd(res, ct):
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+# Chunk count for the fused sample+combine+psum backward below. The
+# backward is run under lax.scan in K chunks so its per-chunk temps
+# ([Rc, 4C] cotangents, sort payloads, doubling buffers) never approach
+# the full-R footprint — a plain take_rows custom-VJP boundary at MSDA
+# shapes materialized five 2.05 GB lane-padded combine-backward temps and
+# OOM'd the full-size ++ train step (18.2 G > 15.75 G, PERF.md round 5).
+GATHER_BWD_CHUNKS = int(os.environ.get("DI_GATHER_BWD_CHUNKS", "8"))
+# Below this update-row count the stock scatter transpose wins: the sort +
+# doubling overhead is ~200 ms at 4.3M rows but the scatter's per-update
+# latency only dominates at scale (fusion_base's small decoder-side MSDA
+# measured 1256 -> 1302 ms when segsort was applied unconditionally).
+GATHER_BWD_MIN_ROWS = int(os.environ.get("DI_GATHER_BWD_MIN_ROWS", str(1 << 21)))
+
+
+def _segsum_to_table(dtable, base, d_g, total_rows=None):
+    """Accumulate d_g rows into dtable ([T+1, 4C], trash row last) by
+    segment: sort -> suffix doubling -> masked unique scatter (exact; see
+    GATHER_BWD notes above). 'scatter' mode — or a small gather
+    (``total_rows`` < GATHER_BWD_MIN_ROWS) — uses the stock transpose."""
+    if GATHER_BWD == "scatter" or (
+        total_rows or base.shape[0]
+    ) < GATHER_BWD_MIN_ROWS:
+        return dtable.at[base].add(d_g)
+    r = base.shape[0]
+    order = jnp.argsort(base)
+    six = jnp.take(base, order)
+    acc = jnp.take(d_g, order, axis=0)
+    d = 1
+    while d < r:
+        same = jnp.concatenate([six[d:] == six[:-d], jnp.zeros((d,), bool)])
+        shifted = jnp.concatenate(
+            [acc[d:], jnp.zeros((d,) + acc.shape[1:], acc.dtype)]
+        )
+        acc = acc + jnp.where(same[:, None], shifted, 0.0)
+        d *= 2
+    is_first = jnp.concatenate([jnp.ones((1,), bool), six[1:] != six[:-1]])
+    ixu = jnp.where(is_first, six, dtable.shape[0] - 1)
+    return dtable.at[ixu].add(acc, unique_indices=True)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flat_cells_psum(table, base, wf, p):
+    """Fused patch-flat gather + cell combine + sum over groups of ``p``
+    consecutive rows: [T, 4C] x [R] x [R, 4] -> [R/p, C]."""
+    c = table.shape[-1] // 4
+    g = jnp.take(table, base, axis=0)
+    acc = combine_flat_cells(g, wf, c)
+    return jnp.sum(acc.reshape(-1, p, c), axis=1)
+
+
+def _flat_cells_psum_fwd(table, base, wf, p):
+    return _flat_cells_psum(table, base, wf, p), (table, base, wf)
+
+
+def _flat_cells_psum_bwd(p, res, d):
+    table, base, wf = res
+    t, c4 = table.shape
+    c = c4 // 4
+    r = base.shape[0]
+    k = GATHER_BWD_CHUNKS if r >= (1 << 19) else 1
+    rq = r // p  # output rows
+    rqc = -(-rq // k)  # output rows per chunk
+    padq = k * rqc - rq
+
+    def padto(x, n):
+        return jnp.pad(x, [(0, n)] + [(0, 0)] * (x.ndim - 1))
+
+    base_s = padto(base, padq * p).reshape(k, rqc * p)
+    wf_s = padto(wf, padq * p).reshape(k, rqc * p, 4)
+    d_s = padto(d, padq).reshape(k, rqc, c)
+    # constant selectors: replicate [*, C] to 4C lanes / fold 4C -> 4
+    tile = jnp.tile(jnp.eye(c, dtype=d.dtype), (1, 4))  # [C, 4C]
+    fold = jnp.kron(jnp.eye(4, dtype=d.dtype), jnp.ones((c, 1), d.dtype))  # [4C, 4]
+    sel = jnp.repeat(jnp.eye(4, dtype=d.dtype), c, axis=1)  # [4, 4C]
+
+    def chunk(dtable, xs):
+        base_c, wf_c, d_c = xs
+        g_c = jnp.take(table, base_c, axis=0)  # [Rc, 4C]
+        d4 = jnp.repeat(d_c, p, axis=0) @ tile  # [Rc, 4C] replicated
+        d_g = d4 * (wf_c @ sel)
+        d_wf = (g_c * d4) @ fold  # [Rc, 4]
+        # threshold on the FULL row count (chunks are r/K by construction)
+        return _segsum_to_table(dtable, base_c, d_g, total_rows=r), d_wf
+
+    dtable, d_wf = jax.lax.scan(
+        chunk, jnp.zeros((t + 1, c4), d.dtype), (base_s, wf_s, d_s)
+    )
+    return dtable[:t], None, d_wf.reshape(-1, 4)[:r]
+
+
+_flat_cells_psum.defvjp(_flat_cells_psum_fwd, _flat_cells_psum_bwd)
+
+
+def grid_sample_2d_views_patch_flat_psum(
+    table: jnp.ndarray,
+    vhw: tuple,
+    grid_xy: jnp.ndarray,
+    view_idx: jnp.ndarray,
+    point_weights: jnp.ndarray,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """:func:`grid_sample_2d_views_patch_flat` with the trailing (point)
+    lead axis SUMMED inside a fused custom-VJP op — the MSDA exact-path
+    sampler. Identical math to sample-then-sum; the hand-written chunked
+    backward keeps temps ~R/K-sized and feeds the sort-based gather
+    transpose (GATHER_BWD) instead of XLA's serialized scatter-add."""
+    c = table.shape[-1] // 4
+    base, (w00, w01, w10, w11) = _patch_cells(vhw, grid_xy, view_idx, align_corners)
+    lead = base.shape  # (..., p)
+    p = lead[-1]
+    wf = jnp.stack([w.reshape(-1) for w in (w00, w01, w10, w11)], axis=-1)
+    wf = wf * point_weights.reshape(-1, 1)
+    out = _flat_cells_psum(table, base.reshape(-1), wf, p)
+    return out.reshape(lead[:-1] + (c,))
 
 
 def transform_points(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:

@@ -87,6 +87,8 @@ def test_take_rows_segsort_backward_matches_scatter(monkeypatch):
     ix = jnp.asarray(rng.integers(0, t // 2, size=r, dtype=np.int32))
     ct = jnp.asarray(rng.normal(size=(r, 4 * c)).astype(np.float32))
 
+    monkeypatch.setattr(G, "GATHER_BWD_MIN_ROWS", 0)  # engage segsort at test sizes
+
     def loss(tb, impl):
         monkeypatch.setattr(G, "GATHER_BWD", impl)
         return jnp.vdot(G.take_rows(tb, ix), ct)
@@ -135,3 +137,52 @@ def test_take_rows_segsort_backward_matches_scatter(monkeypatch):
     gs = jax.grad(lambda f: sloss(f, "scatter"))(feats)
     gq = jax.grad(lambda f: sloss(f, "segsort"))(feats)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gs), rtol=1e-5, atol=1e-5)
+
+
+def test_patch_flat_psum_fused_matches_composition(monkeypatch):
+    """The fused sample+combine+point-sum op (custom chunked VJP) must
+    reproduce sample-then-sum exactly in the forward and match the stock
+    autodiff gradients for table, grid (via cell weights), and point
+    weights — incl. with backward chunking engaged."""
+    import deepinteraction_tpu.utils.geometry as G
+
+    rng = np.random.default_rng(11)
+    v, h, w, c, nq, p = 3, 6, 9, 8, 25, 4
+    feats = jnp.asarray(rng.normal(size=(v, h, w, c)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, size=(nq, p, 2)).astype(np.float32))
+    vidx = jnp.asarray(
+        np.broadcast_to(rng.integers(0, v, size=(nq, 1), dtype=np.int32), (nq, p))
+    )
+    pw = jnp.asarray(rng.normal(size=(nq, p)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(nq, c)).astype(np.float32))
+
+    def composed(f, g_, w_):
+        tbl = G.build_patch_table_flat(f)
+        s = G.grid_sample_2d_views_patch_flat(tbl, (v, h, w), g_, vidx, point_weights=w_)
+        return jnp.sum(s.reshape(nq, p, c), axis=1)
+
+    def fused(f, g_, w_):
+        tbl = G.build_patch_table_flat(f)
+        return G.grid_sample_2d_views_patch_flat_psum(tbl, (v, h, w), g_, vidx, w_)
+
+    # forward: identical math
+    np.testing.assert_allclose(
+        np.asarray(fused(feats, grid, pw)),
+        np.asarray(composed(feats, grid, pw)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+    monkeypatch.setattr(G, "GATHER_BWD", "segsort")
+    monkeypatch.setattr(G, "GATHER_BWD_MIN_ROWS", 0)
+    for chunks in (1, 4):
+        monkeypatch.setattr(G, "GATHER_BWD_CHUNKS", chunks)
+        monkeypatch.setattr(G, "_flat_cells_psum", G._flat_cells_psum)  # no-op pin
+        lo = lambda fn: lambda *a: jnp.vdot(fn(*a), cot)
+        gf = jax.grad(lo(fused), argnums=(0, 1, 2))(feats, grid, pw)
+        gc = jax.grad(lo(composed), argnums=(0, 1, 2))(feats, grid, pw)
+        for a, b_, name in zip(gf, gc, ("feats", "grid", "pw")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5,
+                err_msg=f"{name} grad (chunks={chunks})",
+            )

@@ -19,6 +19,14 @@ process's jax — CLAUDE.md), smallest first:
      proxy: kernel + near-full HBM co-residency]
   4  tiny-config FULL train step, Pallas forced in      [small end-to-end]
   5  full-size fusion_base train step, Pallas forced    [the known crash]
+  6  full-size ENCODER-ONLY fwd+bwd, Pallas forced      [split-program
+     probe: train-scale program without the decoder half — if this runs,
+     the total-program-scale root cause is confirmed from the other side
+     and staged two-program training is a viable mitigation]
+  7  tiny train step, banded sparse-conv kernel forced  [second Mosaic
+     kernel, small]
+  8  full-size train step, banded kernel forced         [second kernel's
+     known crash, recorded]
 
 Usage:
     python tools/repro/locatt_train_crash.py            # run all stages
@@ -115,11 +123,14 @@ def stage3():
     print("stage3 ok:", float(val), float(jnp.sum(grad)), len(ballast))
 
 
-def _train_step(config_name: str, samples: int = 1):
-    """Full train step with the Pallas kernel FORCED into the train graph."""
-    assert os.environ.get("DI_PALLAS_LOCATT_TRAIN") == "1", (
-        "driver must set DI_PALLAS_LOCATT_TRAIN=1 before jax import"
-    )
+def _train_step(config_name: str, samples: int = 1, kernel: str = "locatt"):
+    """Full train step with a Mosaic kernel FORCED into the train graph."""
+    if kernel == "locatt":
+        assert os.environ.get("DI_PALLAS_LOCATT_TRAIN") == "1", (
+            "driver must set DI_PALLAS_LOCATT_TRAIN=1 before jax import"
+        )
+    else:
+        assert os.environ.get("DI_SPARSE_TRAIN_IMPL") == "banded"
     jax = _setup_jax()
     import numpy as np
 
@@ -149,12 +160,75 @@ def _train_step(config_name: str, samples: int = 1):
         print(f"{config_name} step {i}: loss={np.asarray(metrics['loss_total']):.2f}")
 
 
+def stage6():
+    """SPLIT-program probe (VERDICT r4 #8): full-size fusion_base ENCODER
+    fwd+bwd with the Pallas kernel forced in, decoder half absent. If this
+    survives where stage 5 crashes, the 'total program scale' root cause
+    is confirmed from the other side, and staged (two-program) training is
+    a viable mitigation on this runtime."""
+    assert os.environ.get("DI_PALLAS_LOCATT_TRAIN") == "1"
+    jax = _setup_jax()
+    import numpy as np
+
+    from deepinteraction_tpu.models.detector import DeepInteraction
+    from deepinteraction_tpu.utils.testing import fast_init_variables, make_synthetic_batch
+    from tools.train import get_config
+
+    import jax.numpy as jnp
+
+    cfg = get_config("fusion_base")
+    model = DeepInteraction(cfg.model, cfg.data.padded_img_shape)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(cfg, b=1, seed=0, with_gt=True).items()
+    }
+    variables = fast_init_variables(model, batch)
+    params = variables["params"]
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    @jax.jit
+    def f(params):
+        def loss(p):
+            new_img, (pts_conv, new_pts) = model.apply(
+                {"params": p, **consts},
+                batch,
+                True,
+                encoder_only=True,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return (
+                jnp.sum(new_img.astype(jnp.float32) ** 2)
+                + jnp.sum(new_pts.astype(jnp.float32) ** 2)
+            )
+
+        return jax.value_and_grad(loss)(params)
+
+    val, grad = f(params)
+    gn = jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(x.astype(jnp.float32) ** 2), grad, 0.0
+    )
+    print("stage6 ok:", float(val), float(np.asarray(gn)))
+
+
+def _banded_env():
+    os.environ["DI_SPARSE_TRAIN_IMPL"] = "banded"
+    os.environ["DI_SPARSE_IMPL"] = "banded"
+
+
 STAGES = {
     1: stage1,
     2: stage2,
     3: stage3,
     4: lambda: _train_step("tiny", samples=2),
     5: lambda: _train_step("fusion_base", samples=2),
+    6: stage6,
+    # banded-conv Mosaic kernel analogs (VERDICT r4 #8: extend the repro to
+    # the second kernel). 7 = tiny (expect ok), 8 = full size (the crash).
+    7: lambda: (_banded_env(), _train_step("tiny", samples=2, kernel="banded"))[-1],
+    8: lambda: (
+        _banded_env(),
+        _train_step("fusion_base", samples=2, kernel="banded"),
+    )[-1],
 }
 
 
@@ -164,7 +238,7 @@ def main():
     args = p.parse_args()
 
     if args.stage:
-        if args.stage in (4, 5):
+        if args.stage in (4, 5, 6):
             os.environ["DI_PALLAS_LOCATT_TRAIN"] = "1"
         STAGES[args.stage]()
         return
@@ -172,7 +246,7 @@ def main():
     results = {}
     for s in sorted(STAGES):
         env = dict(os.environ)
-        if s in (4, 5):
+        if s in (4, 5, 6):
             env["DI_PALLAS_LOCATT_TRAIN"] = "1"
         t0 = time.time()
         try:

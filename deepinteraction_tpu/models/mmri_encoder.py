@@ -37,6 +37,7 @@ from ..utils.geometry import (
     grid_sample_2d_nearest,
     grid_sample_2d_views,
     grid_sample_2d_views_nearest,
+    nearest_row_ids,
     transform_points,
 )
 from .layers import ConvBNReLU
@@ -93,6 +94,14 @@ class MMRI_I2P(nn.Module):
     # "env" resolves DI_I2P_SAMPLE at trace time (tests pin bilinear via
     # conftest). Training always samples bilinear.
     sample_mode: str = "env"
+    # eval-time key dedupe (nearest + hoisted-geometry path only): a
+    # pillar's ~20 points typically hit only 1-4 DISTINCT feature pixels,
+    # and softmax over a multiset == softmax over uniques with a
+    # log-multiplicity logit bias (exact, same output) — so gather only
+    # the first ``dedupe`` unique pixels per (pillar, view) and add
+    # log(count). Distinct pixels beyond the cap are dropped (quality-
+    # gated deviation; 0 = off). Cuts the I2P gather count p/dedupe-fold.
+    dedupe: int = int(os.environ.get("DI_I2P_DEDUPE", "0"))
 
     @nn.compact
     def __call__(
@@ -151,13 +160,15 @@ class MMRI_I2P(nn.Module):
                 jnp.stack([pp[j] for pp in parts]) for j in range(len(parts[0]))
             )
 
-        def attend(qh, keys, kmask):
+        def attend(qh, keys, kmask, bias=None):
             kh = keys @ wk.astype(cdt) + bk.astype(cdt)
             vh = keys @ wv.astype(cdt) + bv.astype(cdt)
             logits = jnp.einsum(
                 "qc,qkc->qk", qh.astype(cdt), kh,
                 preferred_element_type=jnp.float32,
             )
+            if bias is not None:  # log-multiplicity of deduped keys
+                logits = logits + bias
             logits = jnp.where(kmask, logits, -jnp.inf)
             attn = jax.nn.softmax(logits, axis=-1)
             any_key = jnp.any(kmask, -1)
@@ -189,15 +200,60 @@ class MMRI_I2P(nn.Module):
             else grid_sample_2d_views
         )
 
+        dd = self.dedupe if (mode == "nearest" and not train) else 0
+
         def per_sample_geom(lfeat, ifeat, coor, gsel_a, vidx_a, kmask_a):
             # hoisted-geometry path: projection/view-selection computed
             # ONCE per forward by i2p_geometry() and shared by every
             # interaction layer; chunks only sample + attend
             ifeat = ifeat.astype(cdt)
             qh_all = queries(lfeat, coor)
+            vv, hh, ww = ifeat.shape[0], ifeat.shape[1], ifeat.shape[2]
+            flat_if = ifeat.reshape(vv * hh * ww, c)
 
             def chunk_fn(args):
                 qh, gsel, vidx, kmask = args
+                if dd > 0:
+                    # exact multiset->unique reformulation: sort each
+                    # (pillar, view)'s p nearest-pixel row ids, keep the
+                    # first dd uniques + their multiplicities, gather dd
+                    # rows instead of p, and bias logits by log(count).
+                    ids, inside = nearest_row_ids((vv, hh, ww), gsel, vidx)
+                    valid = kmask.reshape(chunk, nv, p) & inside  # [Ck,nv,p]
+                    big = vv * hh * ww  # invalid keys sort last
+                    sids = jnp.sort(jnp.where(valid, ids, big), axis=-1)
+                    ok = sids < big
+                    is_first = (
+                        jnp.concatenate(
+                            [
+                                jnp.ones(sids.shape[:-1] + (1,), bool),
+                                sids[..., 1:] != sids[..., :-1],
+                            ],
+                            -1,
+                        )
+                        & ok
+                    )
+                    rank = jnp.cumsum(is_first, axis=-1) - 1  # [Ck, nv, p]
+                    onehot = (
+                        (rank[..., None] == jnp.arange(dd)) & ok[..., None]
+                    )  # [Ck, nv, p, dd]
+                    counts = jnp.sum(onehot, axis=-2)  # [Ck, nv, dd]
+                    slot_ids = jnp.einsum(  # ids < 2^24: exact in f32
+                        "...pk,...p->...k",
+                        (onehot & is_first[..., None]).astype(jnp.float32),
+                        sids.astype(jnp.float32),
+                    ).astype(jnp.int32)
+                    keys = flat_if[slot_ids.reshape(chunk * nv * dd)]
+                    keys = keys.reshape(chunk, nv * dd, c).astype(cdt)
+                    live = (counts > 0).reshape(chunk, nv * dd)
+                    bias = jnp.where(
+                        live,
+                        jnp.log(jnp.maximum(counts, 1).astype(jnp.float32)).reshape(
+                            chunk, nv * dd
+                        ),
+                        0.0,
+                    )
+                    return attend(qh, keys, live, bias=bias)
                 sampled = sampler_v(ifeat, gsel, vidx)
                 keys = sampled.reshape(chunk, nv * p, c).astype(cdt)
                 return attend(qh, keys, kmask)

@@ -454,6 +454,32 @@ def grid_sample_2d_nearest(
     return jnp.where(inside[..., None], feat[iyc, ixc], 0.0)
 
 
+def nearest_row_ids(
+    vhw: tuple,
+    grid_xy: jnp.ndarray,
+    view_idx: jnp.ndarray,
+    align_corners: bool = False,
+):
+    """Flat row ids of the nearest pixel per sample point: ([...] int32
+    into a [V*H*W] row table, [...] bool inside-mask). Shares the rounding
+    of :func:`grid_sample_2d_views_nearest` so callers can dedupe ids
+    before gathering (the I2P key-dedupe lever, PERF.md round 5)."""
+    v, h, w = vhw
+    x, y = grid_xy[..., 0], grid_xy[..., 1]
+    if align_corners:
+        fx = (x + 1.0) * 0.5 * (w - 1)
+        fy = (y + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((x + 1.0) * w - 1.0) * 0.5
+        fy = ((y + 1.0) * h - 1.0) * 0.5
+    ix = jnp.floor(fx + 0.5)
+    iy = jnp.floor(fy + 0.5)
+    inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+    iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+    return (view_idx.astype(jnp.int32) * h + iyc) * w + ixc, inside
+
+
 def grid_sample_2d_views_nearest(
     feats: jnp.ndarray,
     grid_xy: jnp.ndarray,

@@ -166,3 +166,38 @@ def test_unrolled_chunks_match_lax_map(monkeypatch):
     np.testing.assert_array_equal(unrolled, looped)
     np.testing.assert_array_equal(unrolled_g, looped_g)
     assert np.abs(looped).max() > 0
+
+
+def test_i2p_dedupe_matches_full_keys():
+    """DI_I2P_DEDUPE with an un-capping budget (dedupe = p, so no unique
+    pixel is ever dropped) must reproduce the non-deduped nearest-path
+    output: softmax over the key multiset == softmax over unique keys
+    with log-multiplicity bias (exact identity). The fixture's tight
+    pillar clusters guarantee heavy pixel duplication, so the bias path
+    is genuinely exercised."""
+    from deepinteraction_tpu.models.mmri_encoder import i2p_geometry
+
+    rng = np.random.default_rng(5)
+    fx = _fixture(rng)
+    geom = i2p_geometry(
+        fx["pillars"], fx["counts"], fx["l2i"], fx["aug_inv"],
+        fx["input_shape"], 2,
+    )
+    args = (
+        fx["lidar_feat"], fx["img_feats"], fx["pillars"], fx["counts"],
+        fx["coords"], fx["valid"], fx["l2i"], fx["aug_inv"],
+        fx["input_shape"], False,
+    )
+
+    def run(dd):
+        mod = MMRI_I2P(
+            fx["c"], fx["p"] * fx["v"], chunk=16, n_views=2,
+            sample_mode="nearest", dedupe=dd,
+        )
+        vars_ = mod.init(jax.random.PRNGKey(1), *args)
+        return np.asarray(mod.apply(vars_, *args, geom=geom))
+
+    full = run(0)
+    dedup = run(fx["p"])
+    np.testing.assert_allclose(dedup, full, rtol=1e-4, atol=1e-5)
+    assert np.abs(full).max() > 0

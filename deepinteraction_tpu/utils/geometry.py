@@ -131,9 +131,11 @@ GATHER_BWD_MIN_ROWS = int(os.environ.get("DI_GATHER_BWD_MIN_ROWS", str(1 << 21))
 
 def _segsum_to_table(dtable, base, d_g, total_rows=None):
     """Accumulate d_g rows into dtable ([T+1, 4C], trash row last) by
-    segment: sort -> suffix doubling -> masked unique scatter (exact; see
-    GATHER_BWD notes above). 'scatter' mode — or a small gather
-    (``total_rows`` < GATHER_BWD_MIN_ROWS) — uses the stock transpose."""
+    segment: sort -> segmented combine -> masked unique scatter (see
+    GATHER_BWD notes above; 'segsort' = exact suffix doubling, 'cumsum' =
+    one cumsum + per-segment difference, ~7e-5 rel cancellation error).
+    'scatter' mode — or a small gather (``total_rows`` <
+    GATHER_BWD_MIN_ROWS) — uses the stock transpose."""
     if GATHER_BWD == "scatter" or (
         total_rows or base.shape[0]
     ) < GATHER_BWD_MIN_ROWS:
@@ -142,16 +144,27 @@ def _segsum_to_table(dtable, base, d_g, total_rows=None):
     order = jnp.argsort(base)
     six = jnp.take(base, order)
     acc = jnp.take(d_g, order, axis=0)
-    d = 1
-    while d < r:
-        same = jnp.concatenate([six[d:] == six[:-d], jnp.zeros((d,), bool)])
-        shifted = jnp.concatenate(
-            [acc[d:], jnp.zeros((d,) + acc.shape[1:], acc.dtype)]
-        )
-        acc = acc + jnp.where(same[:, None], shifted, 0.0)
-        d *= 2
     is_first = jnp.concatenate([jnp.ones((1,), bool), six[1:] != six[:-1]])
-    ixu = jnp.where(is_first, six, dtable.shape[0] - 1)
+    if GATHER_BWD == "cumsum":
+        cum = jnp.cumsum(acc, axis=0)
+        ar = jnp.arange(r, dtype=jnp.int32)
+        start = jax.lax.cummax(jnp.where(is_first, ar, -1))
+        exc = jnp.where(
+            (start > 0)[:, None], jnp.take(cum, start - 1, axis=0), 0.0
+        )
+        acc = cum - exc  # at each segment's LAST row: the segment total
+        live = jnp.concatenate([six[1:] != six[:-1], jnp.ones((1,), bool)])
+    else:  # segsort: exact suffix-combine, total lands on the FIRST row
+        d = 1
+        while d < r:
+            same = jnp.concatenate([six[d:] == six[:-d], jnp.zeros((d,), bool)])
+            shifted = jnp.concatenate(
+                [acc[d:], jnp.zeros((d,) + acc.shape[1:], acc.dtype)]
+            )
+            acc = acc + jnp.where(same[:, None], shifted, 0.0)
+            d *= 2
+        live = is_first
+    ixu = jnp.where(live, six, dtable.shape[0] - 1)
     return dtable.at[ixu].add(acc, unique_indices=True)
 
 

@@ -173,16 +173,15 @@ def test_patch_flat_psum_fused_matches_composition(monkeypatch):
         atol=1e-6,
     )
 
-    monkeypatch.setattr(G, "GATHER_BWD", "segsort")
     monkeypatch.setattr(G, "GATHER_BWD_MIN_ROWS", 0)
-    for chunks in (1, 4):
+    for impl, chunks in (("segsort", 1), ("segsort", 4), ("cumsum", 4)):
+        monkeypatch.setattr(G, "GATHER_BWD", impl)
         monkeypatch.setattr(G, "GATHER_BWD_CHUNKS", chunks)
-        monkeypatch.setattr(G, "_flat_cells_psum", G._flat_cells_psum)  # no-op pin
         lo = lambda fn: lambda *a: jnp.vdot(fn(*a), cot)
         gf = jax.grad(lo(fused), argnums=(0, 1, 2))(feats, grid, pw)
         gc = jax.grad(lo(composed), argnums=(0, 1, 2))(feats, grid, pw)
         for a, b_, name in zip(gf, gc, ("feats", "grid", "pw")):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5,
-                err_msg=f"{name} grad (chunks={chunks})",
+                err_msg=f"{name} grad ({impl}, chunks={chunks})",
             )

@@ -54,6 +54,14 @@ GATES = {
     "banded_sparse_conv": {"DI_SPARSE_IMPL": "banded"},
     "depth_fill_lite": {"DI_DEPTH_FILL_LITE": "1"},
     "dense_bf16": {"DI_DENSE_BF16": "1"},
+    # dedupe needs nearest + the hoisted top-k-view path; read its delta
+    # against the nearest_top2_views control row
+    "nearest_top2_views": {"DI_I2P_SAMPLE": "nearest", "DI_I2P_VIEWS": "2"},
+    "i2p_dedupe8": {
+        "DI_I2P_SAMPLE": "nearest",
+        "DI_I2P_VIEWS": "2",
+        "DI_I2P_DEDUPE": "8",
+    },
 }
 
 

@@ -273,6 +273,11 @@ class DataConfig:
     img_norm_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
     pad_divisor: int = 32
     samples_per_device: int = 2
+    # CBGS class-balanced resampling (reference CBGSDataset wrap,
+    # Fusion_0075_refactor.py:96-99). Off shrinks a train epoch to the raw
+    # sample count — used by the gate-checkpoint runs (PERF.md round 5)
+    # where the flaky axon worker makes short epochs = cheap restarts.
+    use_cbgs: bool = True
     # static shapes (TPU contract)
     max_points: int = 320000
     max_gt_boxes: int = 200

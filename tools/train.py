@@ -123,7 +123,9 @@ def main():
     with open(os.path.join(work_dir, "config.json"), "w") as f:
         json.dump({"config": args.config, "overrides": overrides}, f)
 
-    dataset = NuScenesDataset(cfg, args.infos, train=True, seed=args.seed)
+    dataset = NuScenesDataset(
+        cfg, args.infos, train=True, use_cbgs=cfg.data.use_cbgs, seed=args.seed
+    )
     n_dev = len(jax.devices())
     batch_size = cfg.data.samples_per_device * n_dev  # GLOBAL batch
     # each process loads only its local devices' share; the global batch is

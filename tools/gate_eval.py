@@ -112,6 +112,79 @@ def run_gate(cfg: str, ckpt: str, infos: str, name: str, workdir: str) -> dict:
     return keep
 
 
+def diff_dets(parity_pkl: str, gate_pkl: str, top_k: int = 50) -> dict:
+    """Detection-level perturbation stats of one gate vs strict parity.
+
+    mAP deltas need a well-trained checkpoint to be resolvable; matched-box
+    score/center deltas do not — they measure the numeric perturbation the
+    deviation injects into the SAME program/weights directly, with
+    24 scenes x top-50 boxes ~= 1200 pairs of statistical power regardless
+    of detector quality. Matching: per sample, each of parity's top-k boxes
+    (by score) pairs greedily with the nearest unused deviation box.
+    """
+    import pickle
+
+    import numpy as np
+
+    pa = pickle.load(open(parity_pkl, "rb"))
+    ga = pickle.load(open(gate_pkl, "rb"))
+    assert pa["tokens"] == ga["tokens"], "sample order mismatch"
+    d_score, d_center, label_ok, n_pairs = [], [], 0, 0
+    for fp, fg in zip(pa["frames"], ga["frames"]):
+        order = np.argsort(-fp.scores)[:top_k]
+        used = np.zeros(len(fg.boxes), dtype=bool)
+        for i in order:
+            dist = np.linalg.norm(fg.boxes[:, :3] - fp.boxes[i, :3], axis=1)
+            dist = np.where(used, np.inf, dist)
+            j = int(np.argmin(dist))
+            used[j] = True
+            n_pairs += 1
+            d_score.append(abs(float(fp.scores[i]) - float(fg.scores[j])))
+            d_center.append(float(dist[j]))
+            label_ok += int(fp.names[i] == fg.names[j])
+    d_score, d_center = np.asarray(d_score), np.asarray(d_center)
+    return {
+        "pairs": n_pairs,
+        "score_mean": float(d_score.mean()),
+        "score_p99": float(np.percentile(d_score, 99)),
+        "score_max": float(d_score.max()),
+        "center_m_mean": float(d_center.mean()),
+        "center_m_p99": float(np.percentile(d_center, 99)),
+        "center_m_max": float(d_center.max()),
+        "label_match": label_ok / max(n_pairs, 1),
+    }
+
+
+def print_diff_table(workdir: str, out: str | None = None) -> None:
+    import glob
+
+    parity = os.path.join(workdir, "dets_parity.pkl")
+    if not os.path.exists(parity):
+        print("no dets_parity.pkl in workdir; skipping detection-level diff")
+        return
+    rows = {}
+    print(
+        "\n| gate vs parity | pairs | d-score mean / p99 / max "
+        "| d-center m mean / p99 / max | label match |"
+    )
+    print("|---|---|---|---|---|")
+    for pkl in sorted(glob.glob(os.path.join(workdir, "dets_*.pkl"))):
+        name = os.path.basename(pkl)[len("dets_"):-len(".pkl")]
+        if name == "parity":
+            continue
+        s = diff_dets(parity, pkl)
+        rows[name] = s
+        print(
+            f"| {name} | {s['pairs']} "
+            f"| {s['score_mean']:.2e} / {s['score_p99']:.2e} / {s['score_max']:.2e} "
+            f"| {s['center_m_mean']:.3f} / {s['center_m_p99']:.3f} / {s['center_m_max']:.3f} "
+            f"| {s['label_match']:.4f} |"
+        )
+    if out:
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=1, sort_keys=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("config")
@@ -120,31 +193,47 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--workdir", default="/tmp/gate_eval")
     p.add_argument("--gates", nargs="*", default=list(GATES))
+    p.add_argument(
+        "--diff-only",
+        action="store_true",
+        help="skip eval runs; just diff existing dets_*.pkl in workdir",
+    )
     args = p.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
-    rows = [
-        run_gate(args.config, args.checkpoint, args.infos, g, args.workdir)
-        for g in args.gates
-    ]
-    report = {"config": args.config, "checkpoint": args.checkpoint, "rows": rows}
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(report, f, indent=1)
+    if not args.diff_only:
+        rows = [
+            run_gate(args.config, args.checkpoint, args.infos, g, args.workdir)
+            for g in args.gates
+        ]
+        report = {
+            "config": args.config,
+            "checkpoint": args.checkpoint,
+            "rows": rows,
+        }
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
 
-    base = next((r for r in rows if r["gate"] == "parity" and "mAP" in r), None)
-    print("\n| gate | mAP | dmAP | NDS | dNDS |")
-    print("|---|---|---|---|---|")
-    for r in rows:
-        if "mAP" not in r:
-            print(f"| {r['gate']} | FAILED rc={r.get('rc')} | | | |")
-            continue
-        dm = r["mAP"] - base["mAP"] if base else float("nan")
-        dn = r["NDS"] - base["NDS"] if base else float("nan")
-        print(
-            f"| {r['gate']} | {r['mAP']:.4f} | {dm:+.4f} "
-            f"| {r['NDS']:.4f} | {dn:+.4f} |"
+        base = next(
+            (r for r in rows if r["gate"] == "parity" and "mAP" in r), None
         )
+        print("\n| gate | mAP | dmAP | NDS | dNDS |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            if "mAP" not in r:
+                print(f"| {r['gate']} | FAILED rc={r.get('rc')} | | | |")
+                continue
+            dm = r["mAP"] - base["mAP"] if base else float("nan")
+            dn = r["NDS"] - base["NDS"] if base else float("nan")
+            print(
+                f"| {r['gate']} | {r['mAP']:.4f} | {dm:+.4f} "
+                f"| {r['NDS']:.4f} | {dn:+.4f} |"
+            )
+    print_diff_table(
+        args.workdir,
+        out=(args.out or "").replace(".json", "_dets.json") or None,
+    )
 
 
 if __name__ == "__main__":
